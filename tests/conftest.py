@@ -1,0 +1,21 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh in float64.
+
+Mirrors the reference's test strategy (SURVEY.md §4): correctness is
+validated in double precision, and the rank-invariance contract is tested by
+comparing 1-device vs N-device runs on the same host (the reference's
+`d4est_test_mpi.sh` reruns under mpirun -np 8 / -np 1 and greps identical
+norms).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
