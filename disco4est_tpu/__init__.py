@@ -18,6 +18,29 @@ Reference feature map: see SURVEY.md at the repo root.
 
 __version__ = "0.1.0"
 
+# The framework is float64-centric like the reference (its regression
+# contract is in f64; `SURVEY.md` §7 "float64 on TPU must be validated
+# early").  Kernels are dtype-polymorphic; benchmarks opt into f32/bf16
+# explicitly.
+import os as _os
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+# XLA compiles are expensive; keep a persistent on-disk cache so mesh-epoch
+# recompiles and test reruns are cheap.
+_cache_dir = _os.environ.get(
+    "DISCO4EST_JAX_CACHE", _os.path.expanduser("~/.cache/disco4est_jax")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 from disco4est_tpu.ops.lgl import (  # noqa: F401
     gauss_nodes_weights,
     lobatto_nodes_weights,

@@ -1,0 +1,642 @@
+"""Mesh-data builder: per-epoch precomputation of all geometric factors.
+
+Role of the reference's `d4est_mesh_update` + `d4est_mesh_data_compute`
+(`Mesh/d4est_mesh.c:2544-2791`): after every AMR step, rebuild the flat
+struct-of-arrays of volume and face geometry factors.  The reference has a
+slow path (recompute mortar geometry per operator apply) and a fast
+`with_opt` path (precompute; `d4est_laplacian_with_opt*.c`); TPU-first
+design makes precompute-and-reuse the ONLY path.
+
+All factor arrays are element-major with static shapes, ready to shard
+along the element axis.  Built once per mesh epoch under jit; kernels
+consume them every solver iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from disco4est_tpu.geometry.base import Geometry
+from disco4est_tpu.mesh.faces import (
+    FaceTables,
+    build_face_tables,
+    orientation_perm,
+    _tangent_axes,
+)
+from disco4est_tpu.mesh.tree import Forest, ROOT
+from disco4est_tpu.ops import tensor
+from disco4est_tpu.ops.operators import DB
+from disco4est_tpu.quadrature.quadrature import Quadrature
+
+
+class MeshAux:
+    """Host-side companions of a mesh epoch (forest, face tables, geometry).
+
+    Kernels never read these, so MeshAux instances compare EQUAL to each
+    other on purpose: they ride along as jit-static metadata without
+    fragmenting the compilation cache — the same compiled solver serves
+    every mesh epoch with identical shapes.
+    """
+
+    def __init__(self, geom: Geometry, forest: Forest, ft: FaceTables):
+        self.geom = geom
+        self.forest = forest
+        self.ft = ft
+
+    def __eq__(self, other):
+        return isinstance(other, MeshAux)
+
+    def __hash__(self):
+        return 0
+
+
+@dataclasses.dataclass
+class MeshData:
+    """Everything the solvers need for one mesh epoch (uniform degree)."""
+
+    dim: int
+    deg: int
+    deg_quad: int
+    quad: Quadrature
+    aux: MeshAux
+
+    # --- volume arrays (jnp, element-major) ---
+    xyz_lobatto: jnp.ndarray  # [E, dim, nl^dim...]
+    xyz_quad: jnp.ndarray  # [E, dim, nq^dim...]
+    j_quad: jnp.ndarray  # [E, nq^dim...]
+    wjgg: jnp.ndarray  # [E, dim, dim, nq^dim...] w⊗J⊗Σ_k G_lk G_lpk
+
+    # --- face arrays, [E, 2*dim, ...], element's own frame ---
+    face_xyz_lobatto: jnp.ndarray  # [E, 2d, dim, nfl...]
+    face_sj: jnp.ndarray  # [E, 2d, nfq...]
+    face_n: jnp.ndarray  # [E, 2d, dim, nfq...]
+    face_drst: jnp.ndarray  # [E, 2d, dim, dim, nfq...] ∂r_l/∂x_d
+    face_h: jnp.ndarray  # [E, 2d] volume/area h (penalty size)
+    volume: jnp.ndarray  # [E]
+    area: jnp.ndarray  # [E, 2d]
+    sigma: jnp.ndarray  # [E, 2d] SIPG penalty per face
+
+    # --- neighbor gather tables (jnp int32/bool) ---
+    nbr_elem: jnp.ndarray  # [E, 2d]
+    nbr_face: jnp.ndarray  # [E, 2d]
+    perm_l: jnp.ndarray  # [E, 2d, nfl_flat] neighbor lobatto node perm
+    perm_q: jnp.ndarray  # [E, 2d, nfq_flat]
+    bnd_mask: jnp.ndarray  # [E, 2d] bool (True on physical boundary)
+    conf_mask: jnp.ndarray  # [E, 2d] bool (conforming OR boundary: handled
+    #                         by the fused face kernel; hanging faces are
+    #                         masked out there and handled by the mortar
+    #                         kernels below)
+
+    # --- hanging-face mortars (coarse-side rows [M], K=2^{dim-1}) -------
+    # Arrays are in the COARSE element's face frame; sj includes the
+    # subface parametrization factor (1/2)^{dim-1} so mortar integrals use
+    # the standard [-1,1]^{dim-1} weights (matching the reference's halved
+    # spanning vectors, `d4est_mortars.c` dqa/=2).
+    hc_elem: jnp.ndarray  # [M]
+    hc_face: jnp.ndarray  # [M]
+    hc_fine: jnp.ndarray  # [M, K]
+    hc_fine_face: jnp.ndarray  # [M, K]
+    hc_perm_l: jnp.ndarray  # [M, K, nfl_flat] fine-frame -> coarse-frame
+    hc_perm_q: jnp.ndarray  # [M, K, nfq_flat]
+    hc_sj: jnp.ndarray  # [M, K, nfq...]
+    hc_n: jnp.ndarray  # [M, K, dim, nfq...] outward from coarse elem
+    hc_drst_m: jnp.ndarray  # [M, K, dim, dim, nfq...] coarse drst at subface
+    hc_sigma: jnp.ndarray  # [M, K]
+    # fine-side rows, flattened (m, b) -> row m*K + b
+    hf_perm_l: jnp.ndarray  # [M*K, nfl_flat] coarse-frame -> fine-frame
+    hf_perm_q: jnp.ndarray  # [M*K, nfq_flat]
+
+    @property
+    def forest(self) -> Forest:
+        return self.aux.forest
+
+    @property
+    def geom(self) -> Geometry:
+        return self.aux.geom
+
+    @property
+    def ft(self) -> FaceTables:
+        return self.aux.ft
+
+    @property
+    def n_elements(self) -> int:
+        return self.j_quad.shape[0]
+
+    @property
+    def nl(self) -> int:
+        return self.deg + 1
+
+    @property
+    def nq(self) -> int:
+        return self.deg_quad + 1
+
+    @property
+    def local_nodes(self) -> int:
+        return self.n_elements * self.nl**self.dim
+
+    # ---- field helpers (jitted; MeshData is a pytree argument) ----------
+
+    def init_field(self, fcn):
+        """Evaluate fcn(x, y[, z]) at Lobatto nodes -> [E, nl...]
+        (`d4est_mesh_init_field`, INIT_FIELD_ON_LOBATTO)."""
+        return _init_field(self, fcn)
+
+    def init_field_on_quad(self, fcn):
+        return _init_field_on_quad(self, fcn)
+
+    def boundary_values(self, fcn):
+        """fcn at face Lobatto nodes -> [E, 2d, nfl...] (Dirichlet data)."""
+        return _boundary_values(self, fcn)
+
+    def l2_norm_sqr(self, u):
+        """∫ u² J dV per element -> [E] (`d4est_mesh_compute_l2_norm_sqr`)."""
+        return _l2_norm_sqr(self, u)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _init_field(mesh: "MeshData", fcn):
+    coords = [mesh.xyz_lobatto[:, d] for d in range(mesh.dim)]
+    return fcn(*coords)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _init_field_on_quad(mesh: "MeshData", fcn):
+    coords = [mesh.xyz_quad[:, d] for d in range(mesh.dim)]
+    return fcn(*coords)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _boundary_values(mesh: "MeshData", fcn):
+    coords = [mesh.face_xyz_lobatto[:, :, d] for d in range(mesh.dim)]
+    return fcn(*coords)
+
+
+@jax.jit
+def _l2_norm_sqr(mesh: "MeshData", u):
+    Vq = mesh.quad.interp(mesh.deg, mesh.deg_quad)
+    _, w1 = mesh.quad.nodes_weights(mesh.deg_quad)
+    u_q = tensor.apply_iso(Vq, u, mesh.dim)
+    w = tensor.tensor_weights([w1] * mesh.dim, dtype=u.dtype)
+    integrand = w * mesh.j_quad * u_q * u_q
+    return jnp.sum(integrand.reshape(u.shape[0], -1), axis=1)
+
+
+_MESH_META = ["dim", "deg", "deg_quad", "quad", "aux"]
+jax.tree_util.register_dataclass(
+    MeshData,
+    data_fields=[
+        f.name
+        for f in dataclasses.fields(MeshData)
+        if f.name not in _MESH_META
+    ],
+    meta_fields=_MESH_META,
+)
+
+
+def build_mesh(
+    geom: Geometry,
+    forest: Forest,
+    deg: int,
+    quad: Quadrature | None = None,
+    deg_quad: int | None = None,
+    penalty_prefactor: float = 2.0,
+    penalty_fcn: str = "maxp_sqr_over_minh",
+) -> MeshData:
+    quad = quad or Quadrature("legendre")
+    deg_quad = deg if deg_quad is None else deg_quad
+    dim = forest.dim
+    E = forest.n_elements
+    nl, nq = deg + 1, deg_quad + 1
+    nfaces = 2 * dim
+
+    ft = build_face_tables(forest)
+
+    tree = jnp.asarray(forest.tree, jnp.int32)
+    anchor = jnp.asarray(forest.anchor, jnp.float64) / ROOT
+    hfrac = jnp.asarray(2.0 ** -forest.level.astype(np.float64), jnp.float64)
+    nbr_elem = jnp.asarray(ft.nbr_elem, jnp.int32)
+    nbr_face = jnp.asarray(ft.nbr_face, jnp.int32)
+
+    fac = _compute_all_factors(
+        geom,
+        dim,
+        deg,
+        deg_quad,
+        quad,
+        (penalty_fcn, float(penalty_prefactor)),
+        tree,
+        anchor,
+        hfrac,
+        nbr_elem,
+        nbr_face,
+    )
+
+    # --- orientation perms (host) ---------------------------------------
+    nfl_flat = nl ** (dim - 1)
+    nfq_flat = nq ** (dim - 1)
+    perm_l = np.zeros((E, nfaces, nfl_flat), np.int32)
+    perm_q = np.zeros((E, nfaces, nfq_flat), np.int32)
+    codes = ft.orient
+    for code in np.unique(codes):
+        pl = orientation_perm(dim, nl, int(code))
+        pq = orientation_perm(dim, nq, int(code))
+        mask = codes == code
+        perm_l[mask] = pl
+        perm_q[mask] = pq
+
+    from disco4est_tpu.mesh.faces import BOUNDARY, CONF, _orientation_code
+
+    # --- hanging mortar tables ------------------------------------------
+    M = len(ft.hc_elem)
+    K = 1 << (dim - 1)
+    face_h_np = np.asarray(fac["face_h"])
+    fshape_q = (nq,) * (dim - 1)
+    if M > 0:
+        ce, cf = ft.hc_elem, ft.hc_face.astype(np.int32)
+        mfac = _compute_mortar_factors(
+            geom,
+            dim,
+            deg_quad,
+            quad,
+            K,
+            jnp.asarray(forest.tree[ce], jnp.int32),
+            jnp.asarray(forest.anchor[ce], jnp.float64) / ROOT,
+            jnp.asarray(2.0 ** -forest.level[ce].astype(np.float64)),
+            jnp.asarray(cf, jnp.int32),
+        )
+        # penalty: h_m = coarse full-face h; h_p = fine elem's face h
+        h_c = face_h_np[ce, cf]  # [M]
+        h_f = face_h_np[ft.hc_fine, ft.hc_fine_face.astype(np.int32)]  # [M, K]
+        p = float(deg)
+        pf = penalty_prefactor
+        if penalty_fcn in ("maxp_sqr_over_minh", "maxpp1_sqr_over_minh"):
+            pp = p if penalty_fcn == "maxp_sqr_over_minh" else p + 1
+            hc_sigma = pf * pp**2 / np.minimum(h_c[:, None], h_f)
+        elif penalty_fcn == "meanp_sqr_over_meanh":
+            hc_sigma = pf * p**2 / (0.5 * (h_c[:, None] + h_f))
+        elif penalty_fcn == "mean_p_sqr_over_h":
+            hc_sigma = pf * 0.5 * (p**2 / h_c[:, None] + p**2 / h_f)
+        else:
+            raise ValueError(penalty_fcn)
+        # orientation perms: coarse frame <-> fine frame per (m, b)
+        hc_perm_l = np.zeros((M, K, nfl_flat), np.int32)
+        hc_perm_q = np.zeros((M, K, nfq_flat), np.int32)
+        hf_perm_l = np.zeros((M * K, nfl_flat), np.int32)
+        hf_perm_q = np.zeros((M * K, nfq_flat), np.int32)
+        for m in range(M):
+            t_c = int(forest.tree[ce[m]])
+            for b in range(K):
+                fe = int(ft.hc_fine[m, b])
+                ff = int(ft.hc_fine_face[m, b])
+                t_f = int(forest.tree[fe])
+                code_c = (
+                    0 if t_f == t_c else _orientation_code(forest.conn, t_c, int(cf[m]))
+                )
+                code_f = (
+                    0 if t_f == t_c else _orientation_code(forest.conn, t_f, ff)
+                )
+                hc_perm_l[m, b] = orientation_perm(dim, nl, code_c)
+                hc_perm_q[m, b] = orientation_perm(dim, nq, code_c)
+                hf_perm_l[m * K + b] = orientation_perm(dim, nl, code_f)
+                hf_perm_q[m * K + b] = orientation_perm(dim, nq, code_f)
+        mortar = dict(
+            hc_elem=jnp.asarray(ce, jnp.int32),
+            hc_face=jnp.asarray(cf, jnp.int32),
+            hc_fine=jnp.asarray(ft.hc_fine, jnp.int32),
+            hc_fine_face=jnp.asarray(ft.hc_fine_face, jnp.int32),
+            hc_perm_l=jnp.asarray(hc_perm_l),
+            hc_perm_q=jnp.asarray(hc_perm_q),
+            hc_sj=mfac["sj"],
+            hc_n=mfac["n"],
+            hc_drst_m=mfac["drst"],
+            hc_sigma=jnp.asarray(hc_sigma),
+            hf_perm_l=jnp.asarray(hf_perm_l),
+            hf_perm_q=jnp.asarray(hf_perm_q),
+        )
+    else:
+        mortar = dict(
+            hc_elem=jnp.zeros((0,), jnp.int32),
+            hc_face=jnp.zeros((0,), jnp.int32),
+            hc_fine=jnp.zeros((0, K), jnp.int32),
+            hc_fine_face=jnp.zeros((0, K), jnp.int32),
+            hc_perm_l=jnp.zeros((0, K, nfl_flat), jnp.int32),
+            hc_perm_q=jnp.zeros((0, K, nfq_flat), jnp.int32),
+            hc_sj=jnp.zeros((0, K) + fshape_q),
+            hc_n=jnp.zeros((0, K, dim) + fshape_q),
+            hc_drst_m=jnp.zeros((0, K, dim, dim) + fshape_q),
+            hc_sigma=jnp.zeros((0, K)),
+            hf_perm_l=jnp.zeros((0, nfl_flat), jnp.int32),
+            hf_perm_q=jnp.zeros((0, nfq_flat), jnp.int32),
+        )
+
+    return MeshData(
+        dim=dim,
+        deg=deg,
+        deg_quad=deg_quad,
+        quad=quad,
+        aux=MeshAux(geom=geom, forest=forest, ft=ft),
+        nbr_elem=nbr_elem,
+        nbr_face=nbr_face,
+        perm_l=jnp.asarray(perm_l),
+        perm_q=jnp.asarray(perm_q),
+        bnd_mask=jnp.asarray(ft.kind == BOUNDARY),
+        conf_mask=jnp.asarray((ft.kind == CONF) | (ft.kind == BOUNDARY)),
+        **mortar,
+        **fac,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _compute_all_factors(
+    geom,
+    dim,
+    deg,
+    deg_quad,
+    quad,
+    penalty,
+    tree,
+    anchor,
+    hfrac,
+    nbr_elem,
+    nbr_face,
+):
+    """All geometric factor arrays in ONE compiled program (mesh epochs are
+    rare; a single compile amortizes across the whole epoch)."""
+    penalty_fcn, penalty_prefactor = penalty
+    E = tree.shape[0]
+    nfaces = 2 * dim
+    xl = DB.ops(deg).lobatto_nodes
+    xq, wq = quad.nodes_weights(deg_quad)
+
+    vol_pts_l = _tensor_points(xl, dim)
+    vol_pts_q = _tensor_points(xq, dim)
+
+    fac_vol = _factors(geom, tree, anchor, hfrac, vol_pts_q)
+    xyz_l = _positions(geom, tree, anchor, hfrac, vol_pts_l)
+    xyz_q = _positions(geom, tree, anchor, hfrac, vol_pts_q)
+    j_quad = fac_vol["J"]
+    drdx = fac_vol["drdx"]  # [E, nq..., dim(l), dim(d)]
+    w3 = tensor.tensor_weights([wq] * dim)
+
+    # wjgg[l,lp] = w * J * Σ_k drdx[l,k] drdx[lp,k]
+    gg = jnp.einsum("e...lk,e...mk->e...lm", drdx, drdx)
+    wjgg = (w3[None] * j_quad)[..., None, None] * gg
+    wjgg = jnp.moveaxis(jnp.moveaxis(wjgg, -1, 1), -1, 1)  # [E, l, lp, nq...]
+
+    # face arrays
+    wf = tensor.tensor_weights([wq] * (dim - 1)) if dim > 1 else jnp.ones(())
+    face_sj, face_n, face_drst, face_xyz_l, area = [], [], [], [], []
+    for f in range(nfaces):
+        pts_q = _face_points(xq, dim, f)
+        pts_l = _face_points(xl, dim, f)
+        ffac = _factors(geom, tree, anchor, hfrac, pts_q)
+        sj, n = _surface_jacobian(ffac, f, dim)
+        face_sj.append(sj)
+        face_n.append(jnp.moveaxis(n, -1, 1))
+        fd = jnp.moveaxis(jnp.moveaxis(ffac["drdx"], -1, 1), -1, 1)
+        face_drst.append(fd)
+        face_xyz_l.append(
+            jnp.moveaxis(_positions(geom, tree, anchor, hfrac, pts_l), -1, 1)
+        )
+        area.append(jnp.sum((wf * sj).reshape(E, -1), axis=1))
+
+    face_sj = jnp.stack(face_sj, axis=1)  # [E, 2d, nfq...]
+    face_n = jnp.stack(face_n, axis=1)  # [E, 2d, dim, nfq...]
+    face_drst = jnp.stack(face_drst, axis=1)  # [E, 2d, dim, dim, nfq...]
+    face_xyz_l = jnp.stack(face_xyz_l, axis=1)  # [E, 2d, dim, nfl...]
+    area = jnp.stack(area, axis=1)  # [E, 2d]
+    volume = jnp.sum((w3 * j_quad).reshape(E, -1), axis=1)
+    face_h = volume[:, None] / area  # FACE_H_EQ_VOLUME_DIV_AREA
+
+    # --- penalty sigma per directed face --------------------------------
+    h_m = face_h
+    h_p = face_h[nbr_elem, nbr_face]
+    p = float(deg)
+    pf = penalty_prefactor
+    if penalty_fcn == "maxp_sqr_over_minh":
+        sigma = pf * p**2 / jnp.minimum(h_m, h_p)
+    elif penalty_fcn == "maxpp1_sqr_over_minh":
+        sigma = pf * (p + 1) ** 2 / jnp.minimum(h_m, h_p)
+    elif penalty_fcn == "meanp_sqr_over_meanh":
+        sigma = pf * p**2 / (0.5 * (h_m + h_p))
+    elif penalty_fcn == "mean_p_sqr_over_h":
+        sigma = pf * 0.5 * (p**2 / h_m + p**2 / h_p)
+    else:
+        raise ValueError(penalty_fcn)
+
+    return dict(
+        xyz_lobatto=jnp.moveaxis(xyz_l, -1, 1),
+        xyz_quad=jnp.moveaxis(xyz_q, -1, 1),
+        j_quad=j_quad,
+        wjgg=wjgg,
+        face_xyz_lobatto=face_xyz_l,
+        face_sj=face_sj,
+        face_n=face_n,
+        face_drst=face_drst,
+        face_h=face_h,
+        volume=volume,
+        area=area,
+        sigma=sigma,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _compute_mortar_factors(geom, dim, deg_quad, quad, K, tree, anchor, hfrac, cf):
+    """Coarse-side geometry factors on hanging-mortar subfaces.
+
+    For each mortar row (a coarse element's hanging face) and each of its
+    K subfaces: sj (including the subface parametrization factor
+    (1/2)^{dim-1}), outward unit normal, and ∂r/∂x of the COARSE element
+    evaluated at the subface quadrature points.  Row-wise `cf` (the coarse
+    face id) is data, so one compile covers all meshes.
+    """
+    xq, _ = quad.nodes_weights(deg_quad)
+    # Precompute static point sets: pts_b[b] has shape [2d, nfq..., dim].
+    pts_b = [
+        jnp.stack(
+            [_subface_points(xq, dim, f, b) for f in range(2 * dim)]
+        )
+        for b in range(K)
+    ]
+
+    def row(t, a, h, f):
+        sjs, ns, drsts = [], [], []
+        for b in range(K):
+            pts = pts_b[b][f]  # [nfq..., dim]
+            rst_tree = a + (pts + 1.0) * 0.5 * h
+            dx = geom.dx(t, rst_tree) * (0.5 * h)
+            J = _det(dx)
+            drdx = _inv(dx, J)  # [..., l, d]
+            a0 = f // 2
+            sign = jnp.where(f % 2 == 0, -1.0, 1.0)
+            ntilde = sign * J[..., None] * jnp.take(drdx, a0, axis=-2)
+            sj = jnp.sqrt(jnp.sum(ntilde**2, axis=-1))
+            n = ntilde / sj[..., None]
+            sjs.append(sj * 0.5 ** (dim - 1))
+            ns.append(jnp.moveaxis(n, -1, 0))
+            drsts.append(jnp.moveaxis(jnp.moveaxis(drdx, -1, 0), -1, 0))
+            # drdx [..., l, d] -> after moves [l, d, ...]? verify below.
+        return (
+            jnp.stack(sjs),
+            jnp.stack(ns),
+            jnp.stack(drsts),
+        )
+
+    sj, n, drst = jax.vmap(row)(tree, anchor, hfrac, cf)
+    return {"sj": sj, "n": n, "drst": drst}
+
+
+def _subface_points(x1: np.ndarray, dim: int, face: int, b: int) -> jnp.ndarray:
+    """Reference points of subface `b` of `face` (coarse element coords):
+    the tangent-axis intervals are halved according to b's bits (bit 0 ↦
+    the faster tangent axis)."""
+    a0, side = divmod(face, 2)
+    tang = _tangent_axes(dim, face)
+    x1 = np.asarray(x1)
+
+    def sub(x, bit):
+        return 0.5 * (x - 1.0) if bit == 0 else 0.5 * (x + 1.0)
+
+    if dim == 2:
+        t1 = tang[0]
+        pts = np.zeros((len(x1), dim))
+        pts[:, t1] = sub(x1, b & 1)
+        pts[:, a0] = -1.0 if side == 0 else 1.0
+        return jnp.asarray(pts)
+    t1, t2 = tang
+    n = len(x1)
+    g2, g1 = np.meshgrid(sub(x1, (b >> 1) & 1), sub(x1, b & 1), indexing="ij")
+    pts = np.zeros((n, n, dim))
+    pts[..., t1] = g1
+    pts[..., t2] = g2
+    pts[..., a0] = -1.0 if side == 0 else 1.0
+    return jnp.asarray(pts)
+
+
+# ---------------------------------------------------------------------------
+# geometry evaluation helpers
+# ---------------------------------------------------------------------------
+
+
+def _tensor_points(x1: np.ndarray, dim: int) -> jnp.ndarray:
+    """[n^dim grid shaped (n_z, n_y, n_x), dim] reference points; component
+    d of the last axis is the coordinate along direction d (x = dir 0)."""
+    n = len(x1)
+    grids = jnp.meshgrid(*([jnp.asarray(x1)] * dim), indexing="ij")
+    # meshgrid axes are (axis0=slowest ... ); our array axes are (z, y, x)
+    # so axis i of the array corresponds to direction dim-1-i.
+    comps = [grids[dim - 1 - d] for d in range(dim)]  # comp d on grid
+    return jnp.stack(comps, axis=-1)
+
+
+def _face_points(x1: np.ndarray, dim: int, face: int) -> jnp.ndarray:
+    """Reference points of a face: [nf_shape..., dim]."""
+    a0, side = divmod(face, 2)
+    tang = _tangent_axes(dim, face)
+    if dim == 2:
+        t1 = tang[0]
+        pts = jnp.zeros((len(x1), dim))
+        pts = pts.at[:, t1].set(jnp.asarray(x1))
+        pts = pts.at[:, a0].set(-1.0 if side == 0 else 1.0)
+        return pts
+    t1, t2 = tang  # t1 fast
+    n = len(x1)
+    g2, g1 = jnp.meshgrid(jnp.asarray(x1), jnp.asarray(x1), indexing="ij")
+    pts = jnp.zeros((n, n, dim))
+    pts = pts.at[..., t1].set(g1)
+    pts = pts.at[..., t2].set(g2)
+    pts = pts.at[..., a0].set(-1.0 if side == 0 else 1.0)
+    return pts
+
+
+def _positions(geom, tree, anchor, hfrac, r_pts):
+    """xyz at reference points: [E, pts_shape..., dim]."""
+
+    def one(t, a, h):
+        rst_tree = a + (r_pts + 1.0) * 0.5 * h
+        return geom.x(t, rst_tree)
+
+    return jax.vmap(one)(tree, anchor, hfrac)
+
+
+def _factors(geom, tree, anchor, hfrac, r_pts):
+    """J and ∂r/∂x at reference points.
+
+    Returns dict with J [E, pts...] and drdx [E, pts..., dim(l), dim(d)]
+    where drdx[..., l, d] = ∂r_l/∂x_d (element reference coords).
+    """
+
+    def one(t, a, h):
+        rst_tree = a + (r_pts + 1.0) * 0.5 * h
+        dx = geom.dx(t, rst_tree)  # [pts..., dim(x_i), dim(rtree_j)]
+        return dx * (0.5 * h)
+
+    dxdr = jax.vmap(one)(tree, anchor, hfrac)  # [E, pts..., i, j]
+    J = _det(dxdr)
+    drdx_xr = _inv(dxdr, J)  # [..., j(r), i(x)] = inverse transposed layout
+    return {"J": J, "drdx": drdx_xr}
+
+
+def _det(m):
+    dim = m.shape[-1]
+    if dim == 2:
+        return m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+    return (
+        m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1])
+        - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 0])
+        + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0])
+    )
+
+
+def _inv(m, det):
+    """Inverse of [..., i, j] returned as [..., j, i]: entry [l, d] is
+    ∂r_l/∂x_d given m[i, j] = ∂x_i/∂r_j."""
+    dim = m.shape[-1]
+    if dim == 2:
+        inv = jnp.stack(
+            [
+                jnp.stack([m[..., 1, 1], -m[..., 0, 1]], -1),
+                jnp.stack([-m[..., 1, 0], m[..., 0, 0]], -1),
+            ],
+            -2,
+        )
+        # standard inverse [[d,-b],[-c,a]]/det already has layout
+        # [row=j(r), col=i(x)] = ∂r_j/∂x_i, which is what we return.
+        return inv / det[..., None, None]
+    # With m[i,j]=∂x_i/∂r_j, (m⁻¹)[j,i]=∂r_j/∂x_i = cof[i,j]/det.
+    cof = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    m[..., (i + 1) % 3, (j + 1) % 3] * m[..., (i + 2) % 3, (j + 2) % 3]
+                    - m[..., (i + 1) % 3, (j + 2) % 3] * m[..., (i + 2) % 3, (j + 1) % 3]
+                    for j in range(3)
+                ],
+                -1,
+            )
+            for i in range(3)
+        ],
+        -2,
+    )  # cof[..., i, j]
+    # (m⁻¹)[j,i] = cof[i,j]/det  ->  out[l,d] = (m⁻¹)[l,d] = cof[d,l]/det
+    return jnp.swapaxes(cof, -1, -2) / det[..., None, None]
+
+
+def _surface_jacobian(fac, face: int, dim: int):
+    """sj and unit outward normal at face quad points.
+
+    ñ_d = sign · J · ∂r_{a0}/∂x_d ;  sj = |ñ| ;  n = ñ/sj — the standard
+    contravariant-normal construction the reference uses for its mortar
+    geometry (`Mesh/d4est_mortars.c` sj/n computation).
+    """
+    a0, side = divmod(face, 2)
+    sign = -1.0 if side == 0 else 1.0
+    ntilde = sign * fac["J"][..., None] * fac["drdx"][..., a0, :]
+    sj = jnp.sqrt(jnp.sum(ntilde**2, axis=-1))
+    n = ntilde / sj[..., None]
+    return sj, n
