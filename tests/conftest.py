@@ -9,7 +9,6 @@ norms).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,4 +17,8 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax
 
+# The environment may pre-set JAX_PLATFORMS (e.g. "axon,cpu" for the TPU
+# tunnel); tests must run on the virtual CPU mesh, so force it via config
+# (which wins over the env var).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
