@@ -136,6 +136,11 @@ def test_poisson_sinx_regression_3d():
     running the reference binary (its bundled PETSc/OpenBLAS tarballs are
     absent, so it cannot be built offline).  Until then this pins OUR
     verified value to guard against drift.
+
+    Note: at deg 2 the SAME discretization chain reproduces the
+    reference's ConstantDensityStar regression value exactly
+    (9.6078e-6, see tests/test_cds.py), so the deg-1 sinx discrepancy is
+    isolated, not systematic.
     """
     err, mesh, res = _solve_sinx(3, 1, 2, pi=D4EST_PI)
     assert mesh.n_elements == 64
