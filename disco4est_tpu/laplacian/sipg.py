@@ -62,10 +62,16 @@ def _face_slices(u, dim):
     )
 
 
-def apply_sipg(mesh: MeshData, u, g=None):
+def apply_sipg(mesh: MeshData, u, g=None, neighbors: str = "full"):
     """Au for the SIPG Laplacian (−∇²  weak form). `u`: [E, nl...]
     nodal field; `g`: optional Dirichlet data at face Lobatto nodes
-    [E, 2d, nfl...] (None ⇒ homogeneous, the pure linear operator)."""
+    [E, 2d, nfl...] (None ⇒ homogeneous, the pure linear operator).
+
+    `neighbors="zero"` computes the element-block-diagonal action (all
+    cross-element couplings dropped): probing it with unit vectors
+    assembles the exact diagonal blocks of A in one batch — the basis of
+    the block-Jacobi/Schwarz preconditioners
+    (`d4est_solver_schwarz_apply_lhs` restricted-operator role)."""
     dim, deg, deg_quad = mesh.dim, mesh.deg, mesh.deg_quad
     nl, nq = deg + 1, deg_quad + 1
     E = u.shape[0]
