@@ -154,6 +154,9 @@ def apply_sipg(mesh: MeshData, u, g=None, neighbors: str = "full"):
         g_q = jnp.zeros_like(u_m_q)
     else:
         g_q = _face_apply(Vq, g.astype(dtype), dim)
+    if neighbors == "zero":
+        u_p_q = jnp.zeros_like(u_p_q)
+        dudx_p = jnp.zeros_like(dudx_p)
     u_p_q = jnp.where(bnd_b, g_q, u_p_q)
     dudx_p = jnp.where(bnd_b[:, :, None], dudx_m, dudx_p)
 
@@ -190,7 +193,9 @@ def apply_sipg(mesh: MeshData, u, g=None, neighbors: str = "full"):
             Au = Au + tensor.apply_axis(D.T, lifted, l)
 
     if mesh.hc_elem.shape[0] > 0:
-        Au = Au + _apply_hanging(mesh, u_f, dudr_f, Vq, wf, D, dtype)
+        Au = Au + _apply_hanging(
+            mesh, u_f, dudr_f, Vq, wf, D, dtype, neighbors=neighbors
+        )
     return Au
 
 
@@ -217,7 +222,8 @@ def _face_scatter_dynamic(Au, elems, faces, vals, dim, nl, D=None, term2_l=None,
     return Au
 
 
-def _apply_hanging(mesh: MeshData, u_f, dudr_f, Vq, wf, D, dtype):
+def _apply_hanging(mesh: MeshData, u_f, dudr_f, Vq, wf, D, dtype,
+                   neighbors: str = "full"):
     """Hanging-face (nonconforming) mortar contributions.
 
     The reference's hanging cases of `d4est_laplacian_flux_sipg_interface`
@@ -286,6 +292,9 @@ def _apply_hanging(mesh: MeshData, u_f, dudr_f, Vq, wf, D, dtype):
         u_p_q = _face_apply(Vq, uf, dim)
         du_p_q = _face_apply(Vq, duf, dim)
         dudx_p = jnp.einsum("mld...,ml...->md...", drst_p, du_p_q)
+        if neighbors == "zero":
+            u_p_q = jnp.zeros_like(u_p_q)
+            dudx_p = jnp.zeros_like(dudx_p)
 
         sj = mesh.hc_sj[:, b].astype(dtype)
         n = mesh.hc_n[:, b].astype(dtype)
@@ -358,6 +367,9 @@ def _apply_hanging(mesh: MeshData, u_f, dudr_f, Vq, wf, D, dtype):
     u_p_q = _face_apply(Vq, u_p, dim)
     du_p_q = _face_apply(Vq, du_p, dim)
     dudx_p = jnp.einsum("mld...,ml...->md...", drst_p, du_p_q)
+    if neighbors == "zero":
+        u_p_q = jnp.zeros_like(u_p_q)
+        dudx_p = jnp.zeros_like(dudx_p)
 
     jump = u_m_q - u_p_q
     term1 = -jnp.einsum("md...,md...->m...", n, 0.5 * (dudx_m + dudx_p)) * sj
