@@ -62,7 +62,14 @@ def _face_slices(u, dim):
     )
 
 
-def apply_sipg(mesh: MeshData, u, g=None, neighbors: str = "full"):
+def apply_sipg(
+    mesh: MeshData,
+    u,
+    g=None,
+    neighbors: str = "full",
+    robin_coeff=None,
+    robin_rhs=None,
+):
     """Au for the SIPG Laplacian (−∇²  weak form). `u`: [E, nl...]
     nodal field; `g`: optional Dirichlet data at face Lobatto nodes
     [E, 2d, nfl...] (None ⇒ homogeneous, the pure linear operator).
@@ -71,7 +78,13 @@ def apply_sipg(mesh: MeshData, u, g=None, neighbors: str = "full"):
     cross-element couplings dropped): probing it with unit vectors
     assembles the exact diagonal blocks of A in one batch — the basis of
     the block-Jacobi/Schwarz preconditioners
-    (`d4est_solver_schwarz_apply_lhs` restricted-operator role)."""
+    (`d4est_solver_schwarz_apply_lhs` restricted-operator role).
+
+    Robin boundary conditions (`d4est_laplacian_flux_sipg_robin_aux`,
+    reference :340-436: ∂u/∂n + c·u = r replaces ALL boundary flux terms
+    by ∫ sj·(c·u − r)·v): pass `robin_coeff` [E, 2d, nfq...] (values used
+    on physical-boundary faces; typically `mesh.boundary_values_quad` of
+    the coefficient function) and optionally `robin_rhs`."""
     dim, deg, deg_quad = mesh.dim, mesh.deg, mesh.deg_quad
     nl, nq = deg + 1, deg_quad + 1
     E = u.shape[0]
@@ -167,6 +180,17 @@ def apply_sipg(mesh: MeshData, u, g=None, neighbors: str = "full"):
     drst_n = jnp.einsum("efld...,efd...->efl...", drst_m, n_m)
     term2 = -0.5 * c2[:, :, None] * drst_n * (sj * jump)[:, :, None]
     term3 = sj * sigma.reshape(bshape) * jump
+
+    if robin_coeff is not None:
+        rr = (
+            jnp.zeros_like(u_m_q)
+            if robin_rhs is None
+            else robin_rhs.astype(dtype)
+        )
+        robin_term = sj * (robin_coeff.astype(dtype) * u_m_q - rr)
+        term1 = jnp.where(bnd_b, robin_term, term1)
+        term2 = jnp.where(bnd_b[:, :, None], 0.0, term2)
+        term3 = jnp.where(bnd_b, 0.0, term3)
 
     # Galerkin integral on the face: Vᵀ(w ⊙ term)
     wf = tensor.tensor_weights([wq1] * (dim - 1), dtype=dtype)

@@ -73,6 +73,7 @@ class MeshData:
 
     # --- face arrays, [E, 2*dim, ...], element's own frame ---
     face_xyz_lobatto: jnp.ndarray  # [E, 2d, dim, nfl...]
+    face_xyz_quad: jnp.ndarray  # [E, 2d, dim, nfq...] (Robin coeffs, ON_QUAD bc eval)
     face_sj: jnp.ndarray  # [E, 2d, nfq...]
     face_n: jnp.ndarray  # [E, 2d, dim, nfq...]
     face_drst: jnp.ndarray  # [E, 2d, dim, dim, nfq...] ∂r_l/∂x_d
@@ -153,6 +154,11 @@ class MeshData:
         """fcn at face Lobatto nodes -> [E, 2d, nfl...] (Dirichlet data)."""
         return _boundary_values(self, fcn)
 
+    def boundary_values_quad(self, fcn):
+        """fcn at face quadrature points -> [E, 2d, nfq...] (Robin
+        coefficients, EVAL_BNDRY_FCN_ON_QUAD)."""
+        return _boundary_values_quad(self, fcn)
+
     def l2_norm_sqr(self, u):
         """∫ u² J dV per element -> [E] (`d4est_mesh_compute_l2_norm_sqr`)."""
         return _l2_norm_sqr(self, u)
@@ -173,6 +179,12 @@ def _init_field_on_quad(mesh: "MeshData", fcn):
 @partial(jax.jit, static_argnums=(1,))
 def _boundary_values(mesh: "MeshData", fcn):
     coords = [mesh.face_xyz_lobatto[:, :, d] for d in range(mesh.dim)]
+    return fcn(*coords)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _boundary_values_quad(mesh: "MeshData", fcn):
+    coords = [mesh.face_xyz_quad[:, :, d] for d in range(mesh.dim)]
     return fcn(*coords)
 
 
@@ -390,7 +402,7 @@ def _compute_all_factors(
 
     # face arrays
     wf = tensor.tensor_weights([wq] * (dim - 1)) if dim > 1 else jnp.ones(())
-    face_sj, face_n, face_drst, face_xyz_l, area = [], [], [], [], []
+    face_sj, face_n, face_drst, face_xyz_l, face_xyz_q, area = [], [], [], [], [], []
     for f in range(nfaces):
         pts_q = _face_points(xq, dim, f)
         pts_l = _face_points(xl, dim, f)
@@ -403,12 +415,16 @@ def _compute_all_factors(
         face_xyz_l.append(
             jnp.moveaxis(_positions(geom, tree, anchor, hfrac, pts_l), -1, 1)
         )
+        face_xyz_q.append(
+            jnp.moveaxis(_positions(geom, tree, anchor, hfrac, pts_q), -1, 1)
+        )
         area.append(jnp.sum((wf * sj).reshape(E, -1), axis=1))
 
     face_sj = jnp.stack(face_sj, axis=1)  # [E, 2d, nfq...]
     face_n = jnp.stack(face_n, axis=1)  # [E, 2d, dim, nfq...]
     face_drst = jnp.stack(face_drst, axis=1)  # [E, 2d, dim, dim, nfq...]
     face_xyz_l = jnp.stack(face_xyz_l, axis=1)  # [E, 2d, dim, nfl...]
+    face_xyz_q = jnp.stack(face_xyz_q, axis=1)  # [E, 2d, dim, nfq...]
     area = jnp.stack(area, axis=1)  # [E, 2d]
     volume = jnp.sum((w3 * j_quad).reshape(E, -1), axis=1)
     face_h = volume[:, None] / area  # FACE_H_EQ_VOLUME_DIV_AREA
@@ -435,6 +451,7 @@ def _compute_all_factors(
         j_quad=j_quad,
         wjgg=wjgg,
         face_xyz_lobatto=face_xyz_l,
+        face_xyz_quad=face_xyz_q,
         face_sj=face_sj,
         face_n=face_n,
         face_drst=face_drst,
