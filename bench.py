@@ -61,7 +61,10 @@ def main():
     E = mesh.n_elements
     dof = mesh.local_nodes
 
-    apply_jit = jax.jit(apply_sipg)
+    mode = "dense" if "--dense" in sys.argv or (deg <= 4 and _on_tpu()) else "tensor"
+    apply_jit = jax.jit(
+        lambda m, v: apply_sipg(m, v, volume_mode=mode)
+    )
     rng = np.random.default_rng(0)
     u = jnp.asarray(
         rng.standard_normal((E,) + (mesh.nl,) * 3), dtype
@@ -111,6 +114,7 @@ def main():
                     "model_tflops_per_s": achieved_tflops,
                     "assumed_peak_tflops": peak,
                     "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+                    "volume_mode": mode,
                     "device": str(jax.devices()[0]),
                 },
             }

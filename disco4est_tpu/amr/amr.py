@@ -109,6 +109,19 @@ def transfer_field(old: Forest, new: Forest, u, deg: int):
     return out
 
 
+def transfer_field_p(u, deg_old: int, deg_new: int, dim: int):
+    """p-prolong/restrict a nodal field to a new uniform degree
+    (uniform_p scheme; `d4est_operators_apply_p_prolong` per axis)."""
+    if deg_new == deg_old:
+        return u
+    P = (
+        DB.p_prolong(deg_old, deg_new)
+        if deg_new > deg_old
+        else DB.p_restrict(deg_old, deg_new)
+    )
+    return tensor.apply_iso(jnp.asarray(P, u.dtype), u, dim)
+
+
 def amr_step(
     forest: Forest,
     refinement_log: np.ndarray,

@@ -62,6 +62,37 @@ def _face_slices(u, dim):
     )
 
 
+def _dense_grad_ops(deg, deg_quad, quad, dim, dtype):
+    """Per-direction dense [nq^dim, nl^dim] operators G_l = (⊗V)·D_l and
+    the plain interpolation G = ⊗V, flattened for [E, n] GEMMs.
+
+    TPU rationale: at moderate degree the per-axis tensor contractions
+    have contraction size nl (4-8) — a few percent of the 128-wide MXU.
+    Flattening each element to a vector and sharing ONE [n, n] operator
+    across all elements turns the volume stage into [E, n]·[n, n] GEMMs
+    with contraction size nl^dim (64-512): the speed-of-light mapping for
+    p ≤ ~4, at the cost of more raw flops.  (The tensor-product path wins
+    again at high p; `volume_mode` selects.)"""
+    import numpy as _np
+
+    V = quad.interp(deg, deg_quad)
+    D = DB.ops(deg).diff
+    eye = _np.eye(deg + 1)
+
+    def kron_all(mats):
+        out = mats[-1]
+        for m in mats[-2::-1]:
+            out = _np.kron(out, m)
+        return out
+
+    Gs = []
+    for l in range(dim):
+        mats = [V @ D if d == l else V for d in range(dim)]
+        # axis order (z, y, x); kron(A_z, A_y, A_x) acts on x-fastest flat
+        Gs.append(jnp.asarray(kron_all(mats[::-1]).T, dtype))  # [nl^d, nq^d] transposed for u@G
+    return Gs
+
+
 def apply_sipg(
     mesh: MeshData,
     u,
@@ -69,6 +100,7 @@ def apply_sipg(
     neighbors: str = "full",
     robin_coeff=None,
     robin_rhs=None,
+    volume_mode: str = "tensor",
 ):
     """Au for the SIPG Laplacian (−∇²  weak form). `u`: [E, nl...]
     nodal field; `g`: optional Dirichlet data at face Lobatto nodes
@@ -98,14 +130,28 @@ def apply_sipg(
     dudr = [tensor.apply_axis(D, u, l) for l in range(dim)]  # dim × [E, nl..]
 
     # ---- volume stiffness ----------------------------------------------
-    t = [tensor.apply_iso(Vq, dudr[l], dim) for l in range(dim)]
-    Au = jnp.zeros_like(u)
-    for lp in range(dim):
-        s = jnp.zeros_like(t[0])
-        for l in range(dim):
-            s = s + mesh.wjgg[:, lp, l].astype(dtype) * t[l]
-        s = tensor.apply_iso(Vq.T, s, dim)
-        Au = Au + tensor.apply_axis(D.T, s, lp)
+    if volume_mode == "dense":
+        Gs = _dense_grad_ops(deg, deg_quad, mesh.quad, dim, dtype)
+        E_ = u.shape[0]
+        u_flat = u.reshape(E_, -1)
+        t = [(u_flat @ Gs[l]).reshape(mesh.j_quad.shape) for l in range(dim)]
+        Au = jnp.zeros_like(u)
+        wjgg_flat = mesh.wjgg.astype(dtype).reshape(
+            E_, dim, dim, -1
+        )
+        t_flat = jnp.stack([x.reshape(E_, -1) for x in t], 1)  # [E, l, nq^d]
+        for lp in range(dim):
+            s_flat = jnp.einsum("elq,elq->eq", wjgg_flat[:, lp], t_flat)
+            Au = Au + (s_flat @ Gs[lp].T).reshape(u.shape)
+    else:
+        t = [tensor.apply_iso(Vq, dudr[l], dim) for l in range(dim)]
+        Au = jnp.zeros_like(u)
+        for lp in range(dim):
+            s = jnp.zeros_like(t[0])
+            for l in range(dim):
+                s = s + mesh.wjgg[:, lp, l].astype(dtype) * t[l]
+            s = tensor.apply_iso(Vq.T, s, dim)
+            Au = Au + tensor.apply_axis(D.T, s, lp)
 
     # ---- face sweep (single fused batch over [E, 2d]) -------------------
     nfl_flat = nl ** (dim - 1)
@@ -439,5 +485,7 @@ def build_rhs_with_strong_bc(mesh: MeshData, f, g):
 # compiled executable serves every mesh with identical shapes/degrees —
 # never close over a mesh in a fresh lambda (that would bake the factor
 # arrays in as constants and recompile per epoch).
-apply_sipg_jit = jax.jit(apply_sipg)
+apply_sipg_jit = jax.jit(
+    apply_sipg, static_argnames=("neighbors", "volume_mode")
+)
 apply_mass_jit = jax.jit(apply_mass, static_argnames=("on_quad",))
