@@ -46,9 +46,11 @@ def _face_apply(A, v, dim):
 
 
 def _gather_nd(field_flat, ne, nf, perm):
-    """General gather for [E, 2d, C, n_flat] arrays (C component axes)."""
-    E, F = ne.shape
-    flat = field_flat.reshape((E * F,) + field_flat.shape[2:])
+    """General gather for [S, 2d, C, n_flat] source arrays (C component
+    axes); `ne`/`nf` may index a source with more rows than they have
+    (halo-extended arrays)."""
+    S, F = field_flat.shape[:2]
+    flat = field_flat.reshape((S * F,) + field_flat.shape[2:])
     rows = (ne * F + nf)  # [E, 2d]
     g = flat[rows]  # [E, 2d, C..., n_flat]
     perm_b = jnp.expand_dims(perm, axis=tuple(range(2, g.ndim - 1)))
