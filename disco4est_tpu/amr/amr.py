@@ -130,9 +130,8 @@ def amr_step(
 ):
     """One AMR step: h-refine per the log, 2:1 balance, transfer fields.
 
-    Returns (new_forest, new_fields).  p-refinement (positive log entries
-    changing degree) requires degree-bucketed meshes — round 1 supports
-    uniform degree, so positive entries must equal `deg`.
+    Returns (new_forest, new_fields).  Uniform-degree convenience wrapper;
+    mixed-degree meshes go through `amr_step_hp`.
     """
     log = np.asarray(refinement_log)
     h_flags = log < 0
@@ -141,3 +140,52 @@ def amr_step(
         k: transfer_field(forest, new_forest, v, deg) for k, v in fields.items()
     }
     return new_forest, new_fields
+
+
+def amr_step_hp(
+    forest: Forest,
+    deg_e: np.ndarray,
+    refinement_log: np.ndarray,
+    fields_own: dict,
+    deg_storage: int,
+    max_degree: int | None = None,
+):
+    """Full hp-AMR step on a mixed-degree mesh.
+
+    refinement_log protocol (reference `hpAMR/d4est_amr.h:18-39`):
+    `log[e] < 0` ⇒ h-refine, children keep degree |log[e]|;
+    `log[e] > 0` ⇒ set degree to log[e] (p-refine or p-coarsen);
+    `log[e] == deg_e[e]` ⇒ no-op.
+
+    `fields_own` are PADDED own-degree coefficient arrays at storage
+    degree `deg_storage` (see laplacian/hp.py).  Returns
+    (new_forest, new_deg_e, new_fields_own, new_deg_storage).
+
+    Transfer = P(old own→old storage) → p-prolong(old→new storage)
+    → h-prolong onto children → L2-restrict to the new own degrees —
+    exact for copies, h-children and p-refines; an L2 projection only for
+    genuine p-coarsening (matching `d4est_operators_apply_p_restrict`).
+    """
+    from disco4est_tpu.laplacian.hp import prolong_padded, restrict_padded
+
+    log = np.asarray(refinement_log).astype(np.int64)
+    deg_e = np.asarray(deg_e, np.int64)
+    h_flags = log < 0
+    new_forest = refine_and_balance(forest, h_flags)
+
+    src, child, dl = element_lineage(forest, new_forest)
+    deg_after_mark = np.where(log < 0, -log, log)
+    new_deg_e = deg_after_mark[src].astype(np.int32)
+    new_storage = int(max(deg_storage, new_deg_e.max(initial=1)))
+    if max_degree is not None:
+        assert new_deg_e.max(initial=1) <= max_degree
+
+    dim = forest.dim
+    new_fields = {}
+    for k, v in fields_own.items():
+        u = prolong_padded(jnp.asarray(v), deg_e, deg_storage, dim)
+        if new_storage != deg_storage:
+            u = transfer_field_p(u, deg_storage, new_storage, dim)
+        u = transfer_field(forest, new_forest, u, new_storage)
+        new_fields[k] = restrict_padded(u, new_deg_e, new_storage, dim)
+    return new_forest, new_deg_e, new_fields, new_storage

@@ -91,7 +91,7 @@ def transfer_predictor(
     old: Forest,
     new: Forest,
     pred: np.ndarray,
-    deg: int,
+    deg: np.ndarray | int,
     params: SmoothPredParams,
     refinement_log: np.ndarray,
 ):
@@ -108,6 +108,9 @@ def transfer_predictor(
 
     src, child, dl = element_lineage(old, new)
     marked_h = np.asarray(refinement_log) < 0
-    c = params.gamma_h * 0.5 ** (2 * deg) / (1 << old.dim)
+    deg_arr = (
+        np.full(old.n_elements, deg) if np.isscalar(deg) else np.asarray(deg)
+    )
+    c = params.gamma_h * 0.5 ** (2 * deg_arr[src]) / (1 << old.dim)
     n_extra = np.maximum(dl - marked_h[src].astype(np.int64), 0)
     return pred[src] * c**n_extra

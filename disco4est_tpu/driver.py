@@ -26,10 +26,20 @@ from disco4est_tpu.geometry.cubed_sphere import CubedSphereGeometry
 from disco4est_tpu.mesh.tree import Forest
 from disco4est_tpu.mesh.builder import build_mesh, MeshData
 from disco4est_tpu.laplacian.sipg import apply_sipg, build_rhs_with_strong_bc
+from disco4est_tpu.laplacian.hp import (
+    apply_sipg_hp,
+    build_rhs_with_strong_bc_hp,
+    restrict_to_own,
+    to_max,
+)
 from disco4est_tpu.solvers.cg import cg_solve
 from disco4est_tpu.solvers.fcg import fcg_solve
 from disco4est_tpu.estimators.bi import estimate_bi
-from disco4est_tpu.amr.amr import refine_and_balance, transfer_field
+from disco4est_tpu.amr.amr import (
+    amr_step_hp,
+    refine_and_balance,
+    transfer_field,
+)
 from disco4est_tpu.amr.smooth_pred import (
     SmoothPredParams,
     SmoothPredState,
@@ -92,6 +102,14 @@ def _linear_solve_fcg(mesh, rhs, x0):
     )
 
 
+@jax.jit
+def _linear_solve_cg_hp(mesh, rhs, x0):
+    return cg_solve(
+        lambda v: apply_sipg_hp(mesh, v), rhs, x0=x0,
+        atol=5e-15, rtol=1e-20, max_iter=100000,
+    )
+
+
 def run_poisson(opts: Options, problem) -> DriverResult:
     """Linear Poisson AMR-solve loop on the configured geometry."""
     from disco4est_tpu.quadrature.quadrature import Quadrature
@@ -107,73 +125,91 @@ def run_poisson(opts: Options, problem) -> DriverResult:
     scheme = opts.get("amr", "scheme", "uniform_p")
     n_amr = opts.get_int("amr", "num_of_amr_steps", 0)
     ksp = opts.get("d4est_solver_krylov_petsc", "ksp_type", "cg")
+    if scheme not in ("uniform_h", "uniform_p", "smooth_pred"):
+        raise ValueError(f"unknown [amr] scheme: {scheme!r}")
 
     forest = Forest.uniform(geom.conn, level)
     norms = NormLog()
     eta2_hist = []
     u = None
     sp_state = None
+    max_degree = opts.get_int("mesh_parameters", "max_degree", deg)
     sp_params = SmoothPredParams(
         gamma_h=opts.get_float("amr", "gamma_h", 10.0),
         gamma_p=opts.get_float("amr", "gamma_p", 0.1),
         gamma_n=opts.get_float("amr", "gamma_n", 1.0),
         percentile=opts.get_float("amr", "percentile", 25.0),
-        max_degree=deg,
+        max_degree=max_degree,
         initial_pred=opts.get_float("amr", "initial_pred", 0.0),
     )
 
     solve = _linear_solve_fcg if ksp == "fcg" else _linear_solve_cg
 
+    # hp state: per-element degrees + storage degree (grows as smooth_pred
+    # p-refines; uniform schemes keep deg_e ≡ deg and use the plain path).
+    deg_e = np.full(forest.n_elements, deg, np.int32)
+    storage = deg
+
     for it in range(n_amr + 1):
+        mixed = bool((deg_e != storage).any())
         mesh = build_mesh(
-            geom, forest, deg=deg, quad=quad, deg_quad=deg + dq_inc,
+            geom, forest, deg=storage, quad=quad, deg_quad=storage + dq_inc,
             penalty_prefactor=prefactor, penalty_fcn=penalty_fcn,
+            deg_e=deg_e,
         )
         g = mesh.boundary_values(problem.boundary)
         f = mesh.init_field(problem.rhs)
-        rhs = build_rhs_with_strong_bc(mesh, f, g)
+        rhs_max = build_rhs_with_strong_bc(mesh, f, g)
+        if mixed:
+            rhs = build_rhs_with_strong_bc_hp(mesh, f, g)
+        else:
+            rhs = rhs_max
         x0 = (
             jnp.zeros_like(f)
             if u is None or u.shape != f.shape
             else u
         )
-        res = solve(mesh, rhs, x0)
+        res = (_linear_solve_cg_hp if mixed else solve)(mesh, rhs, x0)
         u = res.x
+        u_max = to_max(mesh, u) if mixed else u
 
         u_a = mesh.init_field(problem.analytic)
         norms.add(
             mesh,
-            L_2=norm_L2(mesh, u - u_a),
-            L_infty=norm_Linfty(u - u_a),
+            L_2=norm_L2(mesh, u_max - u_a),
+            L_infty=norm_Linfty(u_max - u_a),
         )
 
         if it == n_amr:
             break
         if scheme == "uniform_h":
-            log = -np.full(mesh.n_elements, deg, np.int64)
+            log = -deg_e.astype(np.int64)
             pred = None
         elif scheme == "uniform_p":
-            # uniform p: no h-refinement in uniform-degree round 1; keep
-            # the mesh (matches num_of_amr_steps=0 usage in the reference
-            # inputs for this scheme)
-            break
-        else:  # smooth_pred
-            F = apply_sipg(mesh, u, None) - rhs
-            eta2 = np.asarray(estimate_bi(mesh, u, F, g=g,
+            # uniform p: raise every element's degree by one per step
+            log = np.minimum(deg_e + 1, max_degree).astype(np.int64)
+            pred = None
+        elif scheme == "smooth_pred":
+            F = apply_sipg(mesh, u_max, None) - rhs_max
+            eta2 = np.asarray(estimate_bi(mesh, u_max, F, g=g,
                                           penalty_prefactor=prefactor))
             eta2_hist.append(eta2)
             if sp_state is None or len(sp_state.predictor) != mesh.n_elements:
                 sp_state = SmoothPredState.fresh(mesh.n_elements, sp_params)
             log, pred = smooth_pred_mark(
-                eta2, deg, sp_state, sp_params, dim=mesh.dim
+                eta2, deg_e, sp_state, sp_params, dim=mesh.dim
             )
             sp_state = SmoothPredState(pred)
-        new_forest = refine_and_balance(forest, np.asarray(log) < 0)
-        u = transfer_field(forest, new_forest, u, deg)
+        new_forest, new_deg_e, fields, new_storage = amr_step_hp(
+            forest, deg_e, log, {"u": u}, storage, max_degree
+        )
+        u = fields["u"]
         if sp_state is not None and pred is not None:
             sp_state = SmoothPredState(
-                transfer_predictor(forest, new_forest, pred, deg, sp_params, log)
+                transfer_predictor(
+                    forest, new_forest, pred, deg_e, sp_params, log
+                )
             )
-        forest = new_forest
+        forest, deg_e, storage = new_forest, new_deg_e, new_storage
 
     return DriverResult(mesh=mesh, u=u, norms=norms, eta2_history=eta2_hist)

@@ -37,15 +37,17 @@ def _prefactors(mesh: MeshData, penalty_prefactor: float, flavor: str):
     h_m = mesh.face_h
     h_p = mesh.face_h[mesh.nbr_elem, mesh.nbr_face]
     min_h = jnp.minimum(h_m, h_p)
-    p = float(mesh.deg)
+    p_e = mesh.deg_e.astype(h_m.dtype)
+    p_m = jnp.broadcast_to(p_e[:, None], h_m.shape)
+    p = jnp.maximum(p_m, p_e[mesh.nbr_elem])  # max(p⁻, p⁺); bnd: nbr = self
     if flavor == "houston_maxp_minh":
         c_grad2 = 0.5 * min_h / p
         c_u2 = 0.5 * penalty_prefactor * p * p / min_h
-        c_u2_dirichlet = penalty_prefactor * p * p / h_m
+        c_u2_dirichlet = penalty_prefactor * p_m * p_m / h_m
     elif flavor == "maxp_minh":
         c_grad2 = min_h / p
         c_u2 = penalty_prefactor * p * p / min_h
-        c_u2_dirichlet = penalty_prefactor * p * p / h_m
+        c_u2_dirichlet = penalty_prefactor * p_m * p_m / h_m
     else:
         raise ValueError(flavor)
     return c_grad2, c_u2, c_u2_dirichlet
@@ -71,7 +73,8 @@ def _estimate_bi_impl(mesh: MeshData, u, residual, g, pf):
         )
     )
     h_vol = diam / np.sqrt(dim)
-    eta2 = (h_vol / deg) ** 2 * mesh.l2_norm_sqr(residual)
+    p_e = mesh.deg_e.astype(dtype)
+    eta2 = (h_vol / p_e) ** 2 * mesh.l2_norm_sqr(residual)
 
     # ---- face terms (conforming + boundary, fused) ---------------------
     D = jnp.asarray(DB.ops(deg).diff, dtype)
@@ -187,7 +190,7 @@ def _estimate_bi_impl(mesh: MeshData, u, residual, g, pf):
             nm = mesh.hc_n[:, b].astype(dtype)
             h_f = mesh.face_h[fe, ff]
             min_h = jnp.minimum(h_c, h_f)
-            p = float(deg)
+            p = jnp.maximum(p_e[ce], p_e[fe])  # max(p⁻, p⁺) per mortar row
             cg2 = (0.5 * min_h / p).reshape((M,) + (1,) * (dim - 1))
             cu2 = (0.5 * pf * p * p / min_h).reshape((M,) + (1,) * (dim - 1))
 

@@ -57,13 +57,24 @@ class MeshAux:
 
 @dataclasses.dataclass
 class MeshData:
-    """Everything the solvers need for one mesh epoch (uniform degree)."""
+    """Everything the solvers need for one mesh epoch.
+
+    `deg` is the STORAGE degree (the mesh maximum); fields are arrays
+    [E, (deg+1)^dim].  True hp meshes carry a per-element degree `deg_e`
+    ≤ deg; the hp operator (laplacian/hp.py) conjugates the storage-degree
+    kernels with per-element p-prolongations so the discrete space is the
+    reference's per-element-degree DG space while every kernel keeps ONE
+    static shape (SURVEY.md hard-part #5 "degree-heterogeneous batching"
+    resolved by padding, not bucketing).
+    """
 
     dim: int
     deg: int
     deg_quad: int
     quad: Quadrature
     aux: MeshAux
+
+    deg_e: jnp.ndarray  # [E] int32 true per-element degree (≤ deg)
 
     # --- volume arrays (jnp, element-major) ---
     xyz_lobatto: jnp.ndarray  # [E, dim, nl^dim...]
@@ -218,13 +229,25 @@ def build_mesh(
     deg_quad: int | None = None,
     penalty_prefactor: float = 2.0,
     penalty_fcn: str = "maxp_sqr_over_minh",
+    deg_e: np.ndarray | None = None,
 ) -> MeshData:
+    """`deg_e` (optional [E] int): true per-element degrees for hp meshes.
+    Storage stays at `deg` (must be >= max(deg_e)); penalties use the true
+    degrees, matching the reference's per-element `deg` in
+    `d4est_laplacian_flux_sipg.c:946-1005`."""
     quad = quad or Quadrature("legendre")
     deg_quad = deg if deg_quad is None else deg_quad
     dim = forest.dim
     E = forest.n_elements
     nl, nq = deg + 1, deg_quad + 1
     nfaces = 2 * dim
+
+    if deg_e is None:
+        deg_e = np.full(E, deg, np.int32)
+    else:
+        deg_e = np.asarray(deg_e, np.int32)
+        if deg_e.max(initial=0) > deg:
+            raise ValueError("deg_e exceeds storage degree")
 
     ft = build_face_tables(forest)
 
@@ -246,6 +269,7 @@ def build_mesh(
         hfrac,
         nbr_elem,
         nbr_face,
+        jnp.asarray(deg_e, jnp.float64),
     )
 
     # --- orientation perms (host) ---------------------------------------
@@ -284,17 +308,16 @@ def build_mesh(
         # penalty: h_m = coarse full-face h; h_p = fine elem's face h
         h_c = face_h_np[ce, cf]  # [M]
         h_f = face_h_np[ft.hc_fine, ft.hc_fine_face.astype(np.int32)]  # [M, K]
-        p = float(deg)
-        pf = penalty_prefactor
-        if penalty_fcn in ("maxp_sqr_over_minh", "maxpp1_sqr_over_minh"):
-            pp = p if penalty_fcn == "maxp_sqr_over_minh" else p + 1
-            hc_sigma = pf * pp**2 / np.minimum(h_c[:, None], h_f)
-        elif penalty_fcn == "meanp_sqr_over_meanh":
-            hc_sigma = pf * p**2 / (0.5 * (h_c[:, None] + h_f))
-        elif penalty_fcn == "mean_p_sqr_over_h":
-            hc_sigma = pf * 0.5 * (p**2 / h_c[:, None] + p**2 / h_f)
-        else:
-            raise ValueError(penalty_fcn)
+        p_c = deg_e[ce].astype(np.float64)  # [M]
+        p_f = deg_e[ft.hc_fine].astype(np.float64)  # [M, K]
+        hc_sigma = sigma_from_degrees(
+            penalty_fcn,
+            penalty_prefactor,
+            np.broadcast_to(p_c[:, None], p_f.shape),
+            p_f,
+            np.broadcast_to(h_c[:, None], h_f.shape),
+            h_f,
+        )
         # orientation perms: coarse frame <-> fine frame per (m, b)
         hc_perm_l = np.zeros((M, K, nfl_flat), np.int32)
         hc_perm_q = np.zeros((M, K, nfq_flat), np.int32)
@@ -352,6 +375,7 @@ def build_mesh(
         deg_quad=deg_quad,
         quad=quad,
         aux=MeshAux(geom=geom, forest=forest, ft=ft),
+        deg_e=jnp.asarray(deg_e, jnp.int32),
         nbr_elem=nbr_elem,
         nbr_face=nbr_face,
         perm_l=jnp.asarray(perm_l),
@@ -361,6 +385,22 @@ def build_mesh(
         **mortar,
         **fac,
     )
+
+
+def sigma_from_degrees(penalty_fcn, pf, p_m, p_p, h_m, h_p):
+    """SIPG penalty σ from both sides' (degree, h) — the reference's
+    penalty-function library (`d4est_laplacian_flux_sipg.c:946-1005`),
+    generalized to per-face degree arrays for hp meshes."""
+    xp = jnp
+    if penalty_fcn == "maxp_sqr_over_minh":
+        return pf * xp.maximum(p_m, p_p) ** 2 / xp.minimum(h_m, h_p)
+    if penalty_fcn == "maxpp1_sqr_over_minh":
+        return pf * (xp.maximum(p_m, p_p) + 1.0) ** 2 / xp.minimum(h_m, h_p)
+    if penalty_fcn == "meanp_sqr_over_meanh":
+        return pf * (0.5 * (p_m + p_p)) ** 2 / (0.5 * (h_m + h_p))
+    if penalty_fcn == "mean_p_sqr_over_h":
+        return pf * 0.5 * (p_m**2 / h_m + p_p**2 / h_p)
+    raise ValueError(penalty_fcn)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
@@ -376,6 +416,7 @@ def _compute_all_factors(
     hfrac,
     nbr_elem,
     nbr_face,
+    deg_e,
 ):
     """All geometric factor arrays in ONE compiled program (mesh epochs are
     rare; a single compile amortizes across the whole epoch)."""
@@ -429,21 +470,14 @@ def _compute_all_factors(
     volume = jnp.sum((w3 * j_quad).reshape(E, -1), axis=1)
     face_h = volume[:, None] / area  # FACE_H_EQ_VOLUME_DIV_AREA
 
-    # --- penalty sigma per directed face --------------------------------
+    # --- penalty sigma per directed face (true per-element degrees) -----
     h_m = face_h
     h_p = face_h[nbr_elem, nbr_face]
-    p = float(deg)
-    pf = penalty_prefactor
-    if penalty_fcn == "maxp_sqr_over_minh":
-        sigma = pf * p**2 / jnp.minimum(h_m, h_p)
-    elif penalty_fcn == "maxpp1_sqr_over_minh":
-        sigma = pf * (p + 1) ** 2 / jnp.minimum(h_m, h_p)
-    elif penalty_fcn == "meanp_sqr_over_meanh":
-        sigma = pf * p**2 / (0.5 * (h_m + h_p))
-    elif penalty_fcn == "mean_p_sqr_over_h":
-        sigma = pf * 0.5 * (p**2 / h_m + p**2 / h_p)
-    else:
-        raise ValueError(penalty_fcn)
+    p_m = jnp.broadcast_to(deg_e[:, None], h_m.shape)
+    p_p = deg_e[nbr_elem]  # boundary faces: nbr = self ⇒ p_p = p_m
+    sigma = sigma_from_degrees(
+        penalty_fcn, penalty_prefactor, p_m, p_p, h_m, h_p
+    )
 
     return dict(
         xyz_lobatto=jnp.moveaxis(xyz_l, -1, 1),
