@@ -110,6 +110,22 @@ def _linear_solve_cg_hp(mesh, rhs, x0):
     )
 
 
+@jax.jit
+def _linear_solve_fcg_schwarz(mesh, rhs, x0, M):
+    return fcg_solve(
+        lambda v: apply_sipg(mesh, v), rhs, x0=x0, M=M,
+        atol=5e-15, rtol=1e-20, max_iter=10000,
+    )
+
+
+@jax.jit
+def _linear_solve_fcg_schwarz_hp(mesh, rhs, x0, M):
+    return fcg_solve(
+        lambda v: apply_sipg_hp(mesh, v), rhs, x0=x0, M=M,
+        atol=5e-15, rtol=1e-20, max_iter=10000,
+    )
+
+
 def run_poisson(opts: Options, problem) -> DriverResult:
     """Linear Poisson AMR-solve loop on the configured geometry."""
     from disco4est_tpu.quadrature.quadrature import Quadrature
@@ -125,8 +141,17 @@ def run_poisson(opts: Options, problem) -> DriverResult:
     scheme = opts.get("amr", "scheme", "uniform_p")
     n_amr = opts.get_int("amr", "num_of_amr_steps", 0)
     ksp = opts.get("d4est_solver_krylov_petsc", "ksp_type", "cg")
+    pc_type = opts.get("d4est_solver_krylov_petsc", "pc_type", "none")
+    schwarz_overlap_n = opts.get_int(
+        "d4est_solver_schwarz", "num_nodes_overlap", 1
+    )
+    schwarz_iters = opts.get_int(
+        "d4est_solver_schwarz", "subdomain_iter", 15
+    )
     if scheme not in ("uniform_h", "uniform_p", "smooth_pred"):
         raise ValueError(f"unknown [amr] scheme: {scheme!r}")
+    if pc_type not in ("none", "schwarz"):
+        raise ValueError(f"unknown pc_type: {pc_type!r}")
 
     forest = Forest.uniform(geom.conn, level)
     norms = NormLog()
@@ -169,7 +194,22 @@ def run_poisson(opts: Options, problem) -> DriverResult:
             if u is None or u.shape != f.shape
             else u
         )
-        res = (_linear_solve_cg_hp if mixed else solve)(mesh, rhs, x0)
+        if pc_type == "schwarz":
+            from disco4est_tpu.solvers.schwarz_overlap import (
+                build_overlapping_schwarz,
+            )
+
+            M = build_overlapping_schwarz(
+                mesh,
+                num_nodes_overlap=schwarz_overlap_n,
+                iterations=schwarz_iters,
+                hp=mixed,
+            )
+            res = (
+                _linear_solve_fcg_schwarz_hp if mixed else _linear_solve_fcg_schwarz
+            )(mesh, rhs, x0, M)
+        else:
+            res = (_linear_solve_cg_hp if mixed else solve)(mesh, rhs, x0)
         u = res.x
         u_max = to_max(mesh, u) if mixed else u
 

@@ -1,0 +1,475 @@
+"""Overlapping additive Schwarz — vertex-patch subdomains with node strips.
+
+Role of the reference's full Schwarz subsystem (~5.5 kLoC,
+`Solver/d4est_solver_schwarz_metadata.c:384-799` subdomain = center
+element + all face/edge/corner neighbors with `num_nodes_overlap` 1D
+nodes of overlap; `_schwarz_operators.c` restriction/weight tables;
+`_schwarz_laplacian_ext.c` restricted SIPG apply on precomputed subdomain
+geometry; `_subdomain_solver_{cg,gmres,ksp}.c` per-subdomain matrix-free
+solves; `_schwarz.c:172-280` weighted correction).
+
+TPU-first re-design — *replicated-subdomain batching*:
+
+- Subdomain membership is computed once per mesh epoch (host): probe
+  points just outside every face/edge/corner of each center element find
+  all touching leaves (2:1 balance bounds the samples needed).
+- All subdomains are materialized as ONE replicated `MeshData` whose
+  elements are (subdomain, member) pairs plus a single zero "dummy"
+  element.  Faces between two members of the same subdomain keep their
+  real coupling; faces leaving the subdomain point at the dummy, whose
+  fields/factors are identically zero — which makes the batched
+  `apply_sipg` on the replicated mesh compute EXACTLY the restricted
+  operator R_s A R_sᵀ of every subdomain simultaneously (the dummy
+  contributes u⁺ = 0, ∂u⁺ = 0, i.e. the zero-extension semantics of the
+  restriction).  No per-subdomain code path, no tree iteration.
+- `num_nodes_overlap` node strips are a hard mask on the replicated
+  field (the subdomain's true DOF set); the subdomain solves are a
+  batched masked CG with per-subdomain α/β (segment-reduced dot
+  products) — S independent Krylov solves in one jitted loop.
+- Corrections are combined with partition-of-unity weights: a hat
+  profile over the overlap strips, normalized by the accumulated weight
+  so ΣᵀW = I exactly (the reference's weighted-correction sum,
+  `d4est_solver_schwarz_helpers.c`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from disco4est_tpu.mesh.builder import MeshData, MeshAux
+from disco4est_tpu.mesh.tree import Forest, ROOT, _canonicalize_points, _key_of
+from disco4est_tpu.laplacian.sipg import apply_sipg
+
+
+# ---------------------------------------------------------------------------
+# membership (host, once per epoch)
+# ---------------------------------------------------------------------------
+
+
+def subdomain_members(forest: Forest) -> list[np.ndarray]:
+    """For each element: sorted unique indices of it + every leaf sharing
+    a face, edge, or corner (the reference's vertex-patch membership,
+    `d4est_solver_schwarz_metadata.c`)."""
+    from itertools import product
+
+    dim = forest.dim
+    E = forest.n_elements
+    anchor = forest.anchor.astype(np.int64)
+    h = (ROOT >> forest.level.astype(np.int64)).astype(np.int64)
+    keys = forest._lookup_arrays()
+
+    members = [{e} for e in range(E)]
+    hf = h // 2  # finest possible neighbor size (2:1 balance)
+
+    for off in product((-1, 0, 1), repeat=dim):
+        if not any(off):
+            continue
+        # per-axis sample offsets relative to my anchor (x = axis 0)
+        axis_samples = []
+        for a in range(dim):
+            o = off[a]
+            if o < 0:
+                axis_samples.append([-hf[:, None] // 2])
+            elif o > 0:
+                axis_samples.append([h[:, None] + hf[:, None] // 2])
+            else:
+                axis_samples.append(
+                    [hf[:, None] // 2, h[:, None] - hf[:, None] // 2]
+                )
+        for combo in product(*axis_samples):
+            pt = anchor.copy()
+            for a in range(dim):
+                pt[:, a] = anchor[:, a] + combo[a][:, 0]
+            tree = forest.tree.astype(np.int32).copy()
+            valid = np.ones(E, bool)
+            pt2, tr, valid = _canonicalize_points(
+                forest.conn, tree, pt, valid
+            )
+            if not valid.any():
+                continue
+            live = np.where(valid)[0]
+            q = _key_of(tr[live], pt2[live], dim)
+            idx = np.searchsorted(keys, q, side="right") - 1
+            for e, n in zip(live, idx):
+                members[e].add(int(n))
+    return [np.array(sorted(m), np.int64) for m in members]
+
+
+# ---------------------------------------------------------------------------
+# replicated mesh construction
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class OverlappingSchwarz:
+    """M r ≈ Σ_s R_sᵀ W_s A_s⁻¹ R_s r (additive, PoU-weighted)."""
+
+    rep_mesh: MeshData  # replicated mesh, last element = zero dummy
+    member: jnp.ndarray  # [S, K] global element per slot (dummy slot: E)
+    valid: jnp.ndarray  # [S, K] bool
+    mask: jnp.ndarray  # [S, K, nl...] hard DOF restriction
+    weight: jnp.ndarray  # [S, K, nl...] PoU weights (already normalized)
+    iterations: int  # subdomain CG iterations
+    shape: tuple  # (E, nl, ...) of the global field
+    hp: bool = False  # subdomain operator = A_hp (mixed-degree meshes)
+
+    # -- preconditioner apply ---------------------------------------------
+    def __call__(self, r):
+        return _schwarz_apply(self, r)
+
+
+def _flatten_os(s):
+    return (
+        (s.rep_mesh, s.member, s.valid, s.mask, s.weight),
+        (s.iterations, s.shape, s.hp),
+    )
+
+
+def _unflatten_os(aux, ch):
+    return OverlappingSchwarz(
+        rep_mesh=ch[0], member=ch[1], valid=ch[2], mask=ch[3], weight=ch[4],
+        iterations=aux[0], shape=aux[1], hp=aux[2],
+    )
+
+
+jax.tree_util.register_pytree_node(OverlappingSchwarz, _flatten_os, _unflatten_os)
+
+
+def _strip_profiles(nl: int, ov: int, dtype=np.float64):
+    """1D node weights for a neighbor strip: `ov` layers counted from the
+    shared face, hat-profile decaying into the neighbor (the reference's
+    poly-hat weights, `d4est_solver_schwarz_operators.h:8-33`)."""
+    w_low = np.zeros(nl, dtype)  # face at my LOW end (index 0)
+    for i in range(min(ov, nl)):
+        w_low[i] = 1.0 - (i + 1.0) / (ov + 1.0)
+    return w_low, w_low[::-1].copy()
+
+
+def build_overlapping_schwarz(
+    mesh: MeshData,
+    num_nodes_overlap: int = 1,
+    iterations: int = 15,
+    hp: bool = False,
+) -> OverlappingSchwarz:
+    """Construct the replicated-subdomain preconditioner for one epoch."""
+    forest = mesh.forest
+    ft = mesh.ft
+    dim, nl, nq = mesh.dim, mesh.nl, mesh.nq
+    E = mesh.n_elements
+    nfaces = 2 * dim
+    ov = int(num_nodes_overlap)
+
+    mem_lists = subdomain_members(forest)
+    K = max(len(m) for m in mem_lists)
+    S = E
+    member = np.full((S, K), E, np.int64)  # E = dummy slot
+    valid = np.zeros((S, K), bool)
+    slot_of = []  # per subdomain: global -> slot
+    for s, m in enumerate(mem_lists):
+        # center first (slot 0), then the rest
+        rest = [e for e in m if e != s]
+        row = [s] + rest
+        member[s, : len(row)] = row
+        valid[s, : len(row)] = True
+        slot_of.append({e: k for k, e in enumerate(row)})
+
+    R = S * K  # replicated count (dummy appended at index R)
+
+    def rep_idx(s, e):
+        k = slot_of[s].get(int(e), None)
+        return None if k is None else s * K + k
+
+    # ---- gather element-major arrays (dummy row = zeros) ----------------
+    mem_flat = member.reshape(-1)  # [R] global index or E
+    gather_src = np.concatenate([mem_flat, [E]])  # + dummy
+
+    def g(arr):
+        a = np.asarray(arr)
+        padded = np.concatenate([a, np.zeros((1,) + a.shape[1:], a.dtype)], 0)
+        return jnp.asarray(padded[gather_src])
+
+    # ---- replicated face tables -----------------------------------------
+    from disco4est_tpu.mesh.faces import BOUNDARY, CONF
+
+    kind_g = ft.kind  # [E, 2d]
+    nbr_g = np.asarray(mesh.nbr_elem)
+    nbf_g = np.asarray(mesh.nbr_face)
+    perm_l_g = np.asarray(mesh.perm_l)
+    perm_q_g = np.asarray(mesh.perm_q)
+    bnd_g = np.asarray(mesh.bnd_mask)
+
+    nbr_elem = np.full((R + 1, nfaces), R, np.int64)
+    nbr_face = np.zeros((R + 1, nfaces), np.int64)
+    perm_l = np.zeros((R + 1, nfaces, nl ** (dim - 1)), np.int32)
+    perm_q = np.zeros((R + 1, nfaces, nq ** (dim - 1)), np.int32)
+    bnd_mask = np.zeros((R + 1, nfaces), bool)
+    conf_mask = np.zeros((R + 1, nfaces), bool)
+
+    for s in range(S):
+        for k in range(K):
+            if not valid[s, k]:
+                continue
+            e = member[s, k]
+            r = s * K + k
+            for f in range(nfaces):
+                kd = kind_g[e, f]
+                perm_l[r, f] = perm_l_g[e, f]
+                perm_q[r, f] = perm_q_g[e, f]
+                nbr_face[r, f] = nbf_g[e, f]
+                if kd == BOUNDARY:
+                    bnd_mask[r, f] = True
+                    conf_mask[r, f] = True
+                    nbr_elem[r, f] = r
+                elif kd == CONF:
+                    rr = rep_idx(s, nbr_g[e, f])
+                    conf_mask[r, f] = True
+                    nbr_elem[r, f] = R if rr is None else rr
+                # hanging faces (FINE/COARSE): conf_mask False, handled by
+                # replicated hc rows below.
+
+    # self-neighbor for padding/dummy rows (kept out of all masks)
+    for r in range(R + 1):
+        for f in range(nfaces):
+            if nbr_elem[r, f] == R and not conf_mask[r, f]:
+                pass  # fine: gathers from dummy are zeros anyway
+
+    # ---- replicated hanging mortar rows ----------------------------------
+    Kc = 1 << (dim - 1)
+    hc_elem_g = np.asarray(mesh.hc_elem)
+    hc_fine_g = np.asarray(mesh.hc_fine)
+    M_g = len(hc_elem_g)
+    rows = []  # (s, m, rep_coarse, rep_fine[Kc])
+    for s in range(S):
+        mem_set = slot_of[s]
+        for m in range(M_g):
+            ce = int(hc_elem_g[m])
+            fines = [int(x) for x in hc_fine_g[m]]
+            if ce not in mem_set and not any(x in mem_set for x in fines):
+                continue
+            rc = rep_idx(s, ce)
+            rows.append(
+                (
+                    m,
+                    R if rc is None else rc,
+                    [
+                        R if rep_idx(s, x) is None else rep_idx(s, x)
+                        for x in fines
+                    ],
+                )
+            )
+    Mr = len(rows)
+    fshape_q = (nq,) * (dim - 1)
+    if Mr:
+        m_idx = np.array([r[0] for r in rows], np.int64)
+        hc = dict(
+            hc_elem=jnp.asarray([r[1] for r in rows], jnp.int32),
+            hc_face=jnp.asarray(np.asarray(mesh.hc_face)[m_idx], jnp.int32),
+            hc_fine=jnp.asarray([r[2] for r in rows], jnp.int32),
+            hc_fine_face=jnp.asarray(
+                np.asarray(mesh.hc_fine_face)[m_idx], jnp.int32
+            ),
+            hc_perm_l=jnp.asarray(np.asarray(mesh.hc_perm_l)[m_idx]),
+            hc_perm_q=jnp.asarray(np.asarray(mesh.hc_perm_q)[m_idx]),
+            hc_sj=jnp.asarray(np.asarray(mesh.hc_sj)[m_idx]),
+            hc_n=jnp.asarray(np.asarray(mesh.hc_n)[m_idx]),
+            hc_drst_m=jnp.asarray(np.asarray(mesh.hc_drst_m)[m_idx]),
+            hc_sigma=jnp.asarray(np.asarray(mesh.hc_sigma)[m_idx]),
+            hf_perm_l=jnp.asarray(
+                np.asarray(mesh.hf_perm_l).reshape(M_g, Kc, -1)[m_idx].reshape(
+                    Mr * Kc, -1
+                )
+            ),
+            hf_perm_q=jnp.asarray(
+                np.asarray(mesh.hf_perm_q).reshape(M_g, Kc, -1)[m_idx].reshape(
+                    Mr * Kc, -1
+                )
+            ),
+        )
+    else:
+        hc = dict(
+            hc_elem=jnp.zeros((0,), jnp.int32),
+            hc_face=jnp.zeros((0,), jnp.int32),
+            hc_fine=jnp.zeros((0, Kc), jnp.int32),
+            hc_fine_face=jnp.zeros((0, Kc), jnp.int32),
+            hc_perm_l=jnp.zeros((0, Kc, nl ** (dim - 1)), jnp.int32),
+            hc_perm_q=jnp.zeros((0, Kc, nq ** (dim - 1)), jnp.int32),
+            hc_sj=jnp.zeros((0, Kc) + fshape_q),
+            hc_n=jnp.zeros((0, Kc, dim) + fshape_q),
+            hc_drst_m=jnp.zeros((0, Kc, dim, dim) + fshape_q),
+            hc_sigma=jnp.zeros((0, Kc)),
+            hf_perm_l=jnp.zeros((0, nl ** (dim - 1)), jnp.int32),
+            hf_perm_q=jnp.zeros((0, nq ** (dim - 1)), jnp.int32),
+        )
+
+    rep_mesh = MeshData(
+        dim=dim,
+        deg=mesh.deg,
+        deg_quad=mesh.deg_quad,
+        quad=mesh.quad,
+        aux=MeshAux(geom=mesh.geom, forest=forest, ft=ft),
+        deg_e=g(mesh.deg_e),
+        xyz_lobatto=g(mesh.xyz_lobatto),
+        xyz_quad=g(mesh.xyz_quad),
+        j_quad=g(mesh.j_quad),
+        wjgg=g(mesh.wjgg),
+        face_xyz_lobatto=g(mesh.face_xyz_lobatto),
+        face_xyz_quad=g(mesh.face_xyz_quad),
+        face_sj=g(mesh.face_sj),
+        face_n=g(mesh.face_n),
+        face_drst=g(mesh.face_drst),
+        face_h=g(mesh.face_h),
+        volume=g(mesh.volume),
+        area=g(mesh.area),
+        sigma=g(mesh.sigma),
+        nbr_elem=jnp.asarray(nbr_elem, jnp.int32),
+        nbr_face=jnp.asarray(nbr_face, jnp.int32),
+        perm_l=jnp.asarray(perm_l),
+        perm_q=jnp.asarray(perm_q),
+        bnd_mask=jnp.asarray(bnd_mask),
+        conf_mask=jnp.asarray(conf_mask),
+        **hc,
+    )
+
+    # ---- masks & weights (node strips) -----------------------------------
+    w_low, w_high = _strip_profiles(nl, ov)
+    anchor = forest.anchor.astype(np.int64)
+    h = (ROOT >> forest.level.astype(np.int64)).astype(np.int64)
+    # cross-tree members: positions are not comparable through the raw
+    # anchors; recover the relation from physical face adjacency instead.
+    xyz_c = np.asarray(mesh.xyz_lobatto)  # [E, dim, nl...]
+
+    mask = np.zeros((S, K) + (nl,) * dim)
+    weight = np.zeros((S, K) + (nl,) * dim)
+    ones = np.ones(nl)
+    for s in range(S):
+        cmin = xyz_c[s].reshape(dim, -1).min(1)
+        cmax = xyz_c[s].reshape(dim, -1).max(1)
+        for k in range(K):
+            if not valid[s, k]:
+                continue
+            e = member[s, k]
+            if e == s:
+                mask[s, k] = 1.0
+                weight[s, k] = 1.0
+                continue
+            emin = xyz_c[e].reshape(dim, -1).min(1)
+            emax = xyz_c[e].reshape(dim, -1).max(1)
+            per_axis_m = []
+            per_axis_w = []
+            tol = 1e-10 * max(np.max(cmax - cmin), 1e-30)
+            for a in range(dim):
+                if emin[a] >= cmax[a] - tol:  # e to the RIGHT of center
+                    wa = w_low
+                elif emax[a] <= cmin[a] + tol:  # LEFT
+                    wa = w_high
+                else:
+                    wa = ones
+                per_axis_w.append(wa)
+                per_axis_m.append((wa > 0).astype(np.float64))
+            wm = per_axis_m[dim - 1]
+            ww = per_axis_w[dim - 1]
+            for a in range(dim - 2, -1, -1):
+                wm = np.multiply.outer(wm, per_axis_m[a])
+                ww = np.multiply.outer(ww, per_axis_w[a])
+            mask[s, k] = wm
+            weight[s, k] = ww
+
+    # partition of unity: normalize by the accumulated weight per global node
+    total = np.zeros((E + 1,) + (nl,) * dim)
+    np.add.at(total, member.reshape(-1), weight.reshape((S * K,) + (nl,) * dim))
+    total[total == 0] = 1.0
+    weight = weight / total[member]
+
+    return OverlappingSchwarz(
+        rep_mesh=rep_mesh,
+        member=jnp.asarray(member, jnp.int32),
+        valid=jnp.asarray(valid),
+        mask=jnp.asarray(mask),
+        weight=jnp.asarray(weight),
+        iterations=iterations,
+        shape=(E,) + (nl,) * dim,
+        hp=hp,
+    )
+
+
+# ---------------------------------------------------------------------------
+# apply (jitted): restrict -> batched masked CG -> weighted scatter
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _schwarz_apply(s: OverlappingSchwarz, r):
+    S, K = s.member.shape
+    dim_shape = r.shape[1:]
+    E = r.shape[0]
+    dtype = r.dtype
+
+    r_pad = jnp.concatenate(
+        [r, jnp.zeros((1,) + dim_shape, dtype)], axis=0
+    )  # dummy source row
+    b = r_pad[s.member] * s.mask.astype(dtype)  # [S, K, nl...]
+
+    if s.hp:
+        from disco4est_tpu.laplacian.hp import apply_sipg_hp as _op
+    else:
+        _op = apply_sipg
+
+    def A(v):  # v [S, K, nl...] masked
+        v_rep = v.reshape((S * K,) + dim_shape)
+        v_rep = jnp.concatenate(
+            [v_rep, jnp.zeros((1,) + dim_shape, dtype)], axis=0
+        )
+        # The barriers are load-bearing: without them XLA:TPU fuses the
+        # reshape/concat into the operator and MISCOMPILES (observed on
+        # v5e: A(b) off by O(10%), CG then diverges; CPU exact).  The
+        # barrier pins the replicated field as a materialized buffer.
+        v_rep = jax.lax.optimization_barrier(v_rep)
+        Av = jax.lax.optimization_barrier(_op(s.rep_mesh, v_rep))
+        Av = Av[:-1].reshape(v.shape)
+        return Av * s.mask.astype(dtype)
+
+    def dot(a_, b_):  # per-subdomain dots [S]
+        return jnp.sum((a_ * b_).reshape(S, -1), axis=1)
+
+    def bcast(al):  # [S] -> [S, 1, 1...]
+        return al.reshape((S,) + (1,) * (b.ndim - 1))
+
+    # batched CG, fixed iterations (the reference's subdomain_solver with
+    # an iteration cap; per-subdomain α/β via segment dots)
+    x0 = jnp.zeros_like(b)
+    rr0 = dot(b, b)
+
+    def body(i, st):
+        x, rs, p, rr = st
+        Ap = A(p)
+        pAp = dot(p, Ap)
+        alpha = jnp.where(pAp > 0, rr / jnp.where(pAp > 0, pAp, 1.0), 0.0)
+        x = x + bcast(alpha) * p
+        rs = rs - bcast(alpha) * Ap
+        rr_new = dot(rs, rs)
+        beta = jnp.where(rr > 0, rr_new / jnp.where(rr > 0, rr, 1.0), 0.0)
+        p = rs + bcast(beta) * p
+        return (x, rs, p, rr_new)
+
+    x, _, _, _ = jax.lax.fori_loop(0, s.iterations, body, (x0, b, b, rr0))
+
+    # weighted scatter-add back to the global field
+    contrib = (x * s.weight.astype(dtype)).reshape((S * K,) + dim_shape)
+    out = jnp.zeros((E + 1,) + dim_shape, dtype)
+    out = out.at[s.member.reshape(-1)].add(contrib)
+    return out[:E]
+
+
+def overlap_schwarz_smooth(A, M: OverlappingSchwarz, b, x, iterations: int = 2,
+                           damping: float = 1.0):
+    """Schwarz-smoothed iterations (`multigrid_smoother_schwarz` role)."""
+
+    def body(i, x):
+        return x + damping * M(b - A(x))
+
+    return jax.lax.fori_loop(0, iterations, body, x)
