@@ -68,10 +68,18 @@ class Geometry:
 
     `rst` are tree-local coordinates in [0, 1]^dim; `tree` is a (traced or
     static) integer array broadcastable against rst's leading dims.
+
+    `is_affine`: True when every tree map is affine (constant Jacobian).
+    Affine geometries get compact per-element factor storage (one Jacobian
+    per element instead of one per quadrature point) — the TPU analog of
+    the reference's analytic-vs-numerical geometry switches
+    (`Geometry/d4est_geometry.h:101-123`), driven by HBM bandwidth instead
+    of FLOP counts.
     """
 
     dim: int
     conn: Connectivity
+    is_affine: bool = False
 
     def x(self, tree, rst):
         """Physical coordinates; rst [..., dim] -> [..., dim]."""

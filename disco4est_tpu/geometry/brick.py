@@ -14,6 +14,8 @@ from disco4est_tpu.geometry.base import Connectivity, Geometry
 
 
 class BrickGeometry(Geometry):
+    is_affine = True
+
     def __init__(
         self,
         x0=(0.0, 0.0, 0.0),

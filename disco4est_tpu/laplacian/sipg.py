@@ -64,6 +64,38 @@ def _face_slices(u, dim):
     )
 
 
+def _orient_transform(v, code: int, dim: int):
+    """STATIC orientation transform of a face array [..., n2, n1] (dim-1
+    trailing tangent axes): out[j2, j1] = v[i2(j), i1(j)] for the
+    flip/flip/swap encoding of `mesh/faces.py:orientation_perm`.  Pure
+    layout ops (transpose + reverse) — the TPU-fast replacement for the
+    round-1 per-row `take_along_axis` gathers, unrolled once per code
+    present in the mesh (zero codes on brick meshes)."""
+    if dim == 2:
+        return jnp.flip(v, axis=-1) if (code & 1) else v
+    if code & 4:
+        v = jnp.swapaxes(v, -1, -2)
+    if code & 1:
+        v = jnp.flip(v, axis=-1)
+    if code & 2:
+        v = jnp.flip(v, axis=-2)
+    return v
+
+
+def _apply_orient_codes(v, code_arr, codes: tuple, dim: int):
+    """Fix gathered neighbor face data whose source frame differs from
+    ours: for each static orientation code present, transform the whole
+    array and select rows with that code."""
+    if not codes:
+        return v
+    shape = code_arr.shape + (1,) * (dim - 1)
+    for c in codes:
+        v = jnp.where(
+            (code_arr == c).reshape(shape), _orient_transform(v, c, dim), v
+        )
+    return v
+
+
 def _dense_grad_ops(deg, deg_quad, quad, dim, dtype):
     """Per-direction dense [nq^dim, nl^dim] operators G_l = (⊗V)·D_l and
     the plain interpolation G = ⊗V, flattened for [E, n] GEMMs.
@@ -82,6 +114,9 @@ def _dense_grad_ops(deg, deg_quad, quad, dim, dtype):
     eye = _np.eye(deg + 1)
 
     def kron_all(mats):
+        # kron_all([A_x, A_y, A_z]) = A_z ⊗ A_y ⊗ A_x: the direction-0
+        # factor is the LAST kron operand so it acts on the fastest (x)
+        # index of the (z, y, x)-ordered flattening.
         out = mats[-1]
         for m in mats[-2::-1]:
             out = _np.kron(out, m)
@@ -90,8 +125,7 @@ def _dense_grad_ops(deg, deg_quad, quad, dim, dtype):
     Gs = []
     for l in range(dim):
         mats = [V @ D if d == l else V for d in range(dim)]
-        # axis order (z, y, x); kron(A_z, A_y, A_x) acts on x-fastest flat
-        Gs.append(jnp.asarray(kron_all(mats[::-1]).T, dtype))  # [nl^d, nq^d] transposed for u@G
+        Gs.append(jnp.asarray(kron_all(mats).T, dtype))  # [nl^d, nq^d] for u@G
     return Gs
 
 
@@ -102,7 +136,7 @@ def apply_sipg(
     neighbors: str = "full",
     robin_coeff=None,
     robin_rhs=None,
-    volume_mode: str = "tensor",
+    volume_mode: str = "auto",
 ):
     """Au for the SIPG Laplacian (−∇²  weak form). `u`: [E, nl...]
     nodal field; `g`: optional Dirichlet data at face Lobatto nodes
@@ -132,100 +166,119 @@ def apply_sipg(
     dudr = [tensor.apply_axis(D, u, l) for l in range(dim)]  # dim × [E, nl..]
 
     # ---- volume stiffness ----------------------------------------------
+    # Au_vol = Σ_lp Dᵀ_lp Vᵀ (w·J·Σ_l g_lp·g_l ⊙ V D_l u)
+    # Compact affine factors replace the [E, dim, dim, nq^dim] wjgg array
+    # with [E, dim, dim] constants — ~nq^dim less HBM traffic.
+    if volume_mode == "auto":
+        volume_mode = "dense" if (deg <= 4 and dim == 3) else "tensor"
+    w3 = tensor.tensor_weights([wq1] * dim, dtype=dtype)
     if volume_mode == "dense":
         Gs = _dense_grad_ops(deg, deg_quad, mesh.quad, dim, dtype)
-        E_ = u.shape[0]
-        u_flat = u.reshape(E_, -1)
-        t = [(u_flat @ Gs[l]).reshape(mesh.j_quad.shape) for l in range(dim)]
+        u_flat = u.reshape(E, -1)
+        t_flat = jnp.stack([u_flat @ Gs[l] for l in range(dim)], 1)
         Au = jnp.zeros_like(u)
-        wjgg_flat = mesh.wjgg.astype(dtype).reshape(
-            E_, dim, dim, -1
-        )
-        t_flat = jnp.stack([x.reshape(E_, -1) for x in t], 1)  # [E, l, nq^d]
+        if mesh.wjgg_c is not None:
+            wjgg_flat = (
+                mesh.wjgg_c.astype(dtype)[..., None] * w3.reshape(-1)
+            )  # [E, l, lp, nq^d]
+        else:
+            wjgg_flat = mesh.wjgg.astype(dtype).reshape(E, dim, dim, -1)
         for lp in range(dim):
             s_flat = jnp.einsum("elq,elq->eq", wjgg_flat[:, lp], t_flat)
             Au = Au + (s_flat @ Gs[lp].T).reshape(u.shape)
     else:
         t = [tensor.apply_iso(Vq, dudr[l], dim) for l in range(dim)]
         Au = jnp.zeros_like(u)
+        cshape = (E,) + (1,) * dim
         for lp in range(dim):
             s = jnp.zeros_like(t[0])
             for l in range(dim):
-                s = s + mesh.wjgg[:, lp, l].astype(dtype) * t[l]
+                if mesh.wjgg_c is not None:
+                    c = mesh.wjgg_c[:, lp, l].astype(dtype).reshape(cshape)
+                    s = s + c * (w3 * t[l])
+                else:
+                    s = s + mesh.wjgg[:, lp, l].astype(dtype) * t[l]
             s = tensor.apply_iso(Vq.T, s, dim)
             Au = Au + tensor.apply_axis(D.T, s, lp)
 
     # ---- face sweep (single fused batch over [E, 2d]) -------------------
+    # Neighbor data is limited to TWO scalars per face point: the trace u⁺
+    # and the (frame-independent) normal derivative n⁺·∇u⁺ — gathered with
+    # one row gather + static orientation transforms.  The round-1 design
+    # gathered the neighbor's full ∂r/∂x tensor with per-row permutations,
+    # which dominated the apply (~75% of wall clock, see VERDICT r1).
     nfl_flat = nl ** (dim - 1)
     nfq_flat = nq ** (dim - 1)
     fshape_l = (nl,) * (dim - 1)
     fshape_q = (nq,) * (dim - 1)
+    nfaces = 2 * dim
 
     u_f = _face_slices(u, dim)  # [E, 2d, nfl...]
     dudr_f = jnp.stack(
         [_face_slices(dudr[l], dim) for l in range(dim)], axis=2
     )  # [E, 2d, dim, nfl...]
-
-    # neighbor gathers (own-frame face data -> my frame via perm tables)
-    u_p = _gather_nd(
-        u_f.reshape(E, 2 * dim, nfl_flat)[:, :, None],
-        mesh.nbr_elem,
-        mesh.nbr_face,
-        mesh.perm_l,
-    )[:, :, 0]
-    dudr_p = _gather_nd(
-        dudr_f.reshape(E, 2 * dim, dim, nfl_flat),
-        mesh.nbr_elem,
-        mesh.nbr_face,
-        mesh.perm_l,
-    )
-    drst_p = _gather_nd(
-        mesh.face_drst.astype(dtype).reshape(E, 2 * dim, dim, dim, nfq_flat),
-        mesh.nbr_elem,
-        mesh.nbr_face,
-        mesh.perm_q,
-    )
-
-    # interpolate to face quadrature points
-    def to_quad(v_flat, comp_shape):
-        v = v_flat.reshape((E, 2 * dim) + comp_shape + fshape_l)
-        return _face_apply(Vq, v, dim)
-
     u_m_q = _face_apply(Vq, u_f, dim)  # [E, 2d, nfq...]
-    u_p_q = to_quad(u_p.reshape(E, 2 * dim, nfl_flat), ())
     dudr_m_q = _face_apply(Vq, dudr_f, dim)  # [E, 2d, dim, nfq...]
-    dudr_p_q = to_quad(dudr_p, (dim,))
-    drst_p_q = drst_p.reshape((E, 2 * dim, dim, dim) + fshape_q)
 
-    drst_m = mesh.face_drst.astype(dtype)  # [E, 2d, l, d, nfq...]
-    n_m = mesh.face_n.astype(dtype)  # [E, 2d, d, nfq...]
-    sj = mesh.face_sj.astype(dtype)  # [E, 2d, nfq...]
+    # own-side geometric data (broadcast trailing 1s for the affine case)
+    ones = (1,) * (dim - 1)
+    if mesh.face_n_c is not None:
+        drst_m = mesh.drdx_c.astype(dtype).reshape(
+            (E, 1, dim, dim) + ones
+        )  # faces share the element's constant ∂r/∂x
+        n_m = mesh.face_n_c.astype(dtype).reshape((E, nfaces, dim) + ones)
+        sj = mesh.face_sj_c.astype(dtype).reshape((E, nfaces) + ones)
+    else:
+        drst_m = mesh.face_drst.astype(dtype)  # [E, 2d, l, d, nfq...]
+        n_m = mesh.face_n.astype(dtype)  # [E, 2d, d, nfq...]
+        sj = mesh.face_sj.astype(dtype)  # [E, 2d, nfq...]
     sigma = mesh.sigma.astype(dtype)  # [E, 2d]
 
-    # physical gradients on the face
-    dudx_m = jnp.einsum("efld...,efl...->efd...", drst_m, dudr_m_q)
-    dudx_p = jnp.einsum("efld...,efl...->efd...", drst_p_q, dudr_p_q)
+    # n·∇u = (drst·n)·∂u/∂r : only drst_n is ever needed, not full ∂u/∂x
+    drst_n = (drst_m * n_m[:, :, None]).sum(3)  # [E, 2d, l, nfq...|1s]
+    dn_m = (drst_n * dudr_m_q).sum(2)  # [E, 2d, nfq...]
 
     bnd = mesh.bnd_mask
-    bshape = bnd.shape + (1,) * (dim - 1)
+    bshape = bnd.shape + ones
     bnd_b = bnd.reshape(bshape)
 
-    # boundary: u⁺ := g (or 0), ∂u⁺ := ∂u⁻
+    if neighbors == "zero":
+        u_p_q = jnp.zeros_like(u_m_q)
+        dn_p = jnp.zeros_like(dn_m)
+    else:
+        # one packed row gather for both traces
+        rows = mesh.nbr_elem * nfaces + mesh.nbr_face  # [E, 2d]
+        packed = jnp.concatenate(
+            [
+                u_f.reshape(E, nfaces, nfl_flat),
+                dn_m.reshape(E, nfaces, nfq_flat),
+            ],
+            axis=-1,
+        ).reshape(E * nfaces, nfl_flat + nfq_flat)
+        gath = packed[rows]  # [E, 2d, nfl+nfq]
+        u_p = gath[..., :nfl_flat].reshape((E, nfaces) + fshape_l)
+        dn_p = gath[..., nfl_flat:].reshape((E, nfaces) + fshape_q)
+        u_p = _apply_orient_codes(
+            u_p, mesh.orient_code, mesh.orient_codes, dim
+        )
+        dn_p = _apply_orient_codes(
+            dn_p, mesh.orient_code, mesh.orient_codes, dim
+        )
+        u_p_q = _face_apply(Vq, u_p, dim)
+
+    # boundary: u⁺ := g (or 0), ∂u⁺ := ∂u⁻ (⇔ gathered dn_p := -dn_m)
     if g is None:
         g_q = jnp.zeros_like(u_m_q)
     else:
         g_q = _face_apply(Vq, g.astype(dtype), dim)
-    if neighbors == "zero":
-        u_p_q = jnp.zeros_like(u_p_q)
-        dudx_p = jnp.zeros_like(dudx_p)
     u_p_q = jnp.where(bnd_b, g_q, u_p_q)
-    dudx_p = jnp.where(bnd_b[:, :, None], dudx_m, dudx_p)
+    dn_p = jnp.where(bnd_b, -dn_m, dn_p)
 
     jump = u_m_q - u_p_q
     c2 = jnp.where(bnd_b, 2.0, 1.0).astype(dtype)
 
-    term1 = -jnp.einsum("efd...,efd...->ef...", n_m, 0.5 * (dudx_m + dudx_p)) * sj
-    drst_n = jnp.einsum("efld...,efd...->efl...", drst_m, n_m)
+    # n⁺ = -n⁻ at matched points, so n⁻·∇u⁺ = -dn_p
+    term1 = -0.5 * sj * (dn_m - dn_p)
     term2 = -0.5 * c2[:, :, None] * drst_n * (sj * jump)[:, :, None]
     term3 = sj * sigma.reshape(bshape) * jump
 
@@ -242,27 +295,35 @@ def apply_sipg(
 
     # Galerkin integral on the face: Vᵀ(w ⊙ term)
     wf = tensor.tensor_weights([wq1] * (dim - 1), dtype=dtype)
-
-    def vt_w(term):
-        return _face_apply(Vq.T, wf * term, dim)
-
-    vt1 = vt_w(term1)
-    vt2 = vt_w(term2)
-    vt3 = vt_w(term3)
+    vt1 = _face_apply(Vq.T, wf * (term1 + term3), dim)
+    vt2 = _face_apply(Vq.T, wf * term2, dim)
 
     # hanging faces are handled by the mortar kernels below; mask them out
     # of the fused conforming/boundary kernel.
     cmask = mesh.conf_mask.reshape(bshape).astype(dtype)
     vt1 = vt1 * cmask
-    vt3 = vt3 * cmask
     vt2 = vt2 * cmask[:, :, None]
 
-    # lift to volume and accumulate
-    for f in range(2 * dim):
-        Au = Au + tensor.face_scatter(vt1[:, f] + vt3[:, f], f, dim, nl)
-        for l in range(dim):
-            lifted = tensor.face_scatter(vt2[:, f, l], f, dim, nl)
-            Au = Au + tensor.apply_axis(D.T, lifted, l)
+    # lift to volume and accumulate: per face, tangential Dᵀ terms act
+    # within the face plane; the normal-direction Dᵀ of a lifted plane is
+    # an outer product with one column of Dᵀ — no padded volume temps.
+    for f in range(nfaces):
+        dir_, side = divmod(f, 2)
+        tang = [d for d in range(dim) if d != dir_]
+        a = vt1[:, f]
+        for l in tang:
+            a = a + tensor.apply_axis(D.T, vt2[:, f, l], tang.index(l))
+        axis = Au.ndim - 1 - dir_
+        idx = [slice(None)] * Au.ndim
+        idx[axis] = 0 if side == 0 else nl - 1
+        Au = Au.at[tuple(idx)].add(a)
+        # normal-direction term: Dᵀ[:, edge] ⊗ vt2[:, f, dir_]
+        dcol = D.T[:, 0] if side == 0 else D.T[:, -1]
+        col_shape = [1] * Au.ndim
+        col_shape[axis] = nl
+        Au = Au + jnp.expand_dims(vt2[:, f, dir_], axis) * dcol.reshape(
+            col_shape
+        )
 
     if mesh.hc_elem.shape[0] > 0:
         Au = Au + _apply_hanging(
@@ -309,6 +370,11 @@ def _apply_hanging(mesh: MeshData, u_f, dudr_f, Vq, wf, D, dtype,
     - COARSE rows (one per coarse hanging face): terms are computed on all
       K subfaces, mass-projected back to the coarse face with Σ_b P_bᵀ.
     """
+    if mesh.face_drst is None:
+        raise NotImplementedError(
+            "hanging-face apply requires full face factor arrays; build "
+            "the mesh with store_full=True"
+        )
     dim, deg = mesh.dim, mesh.deg
     nl, nq = deg + 1, mesh.deg_quad + 1
     K = 1 << (dim - 1)

@@ -73,6 +73,14 @@ class MeshData:
     deg_quad: int
     quad: Quadrature
     aux: MeshAux
+    # static meta: True when every element map is affine (constant
+    # Jacobian) — enables the compact-factor hot path.
+    affine: bool
+    # static meta: sorted tuple of NON-IDENTITY orientation codes present
+    # among conforming faces.  The SIPG apply unrolls one static
+    # flip/swap transform per code (zero codes on brick meshes) instead of
+    # per-row `take_along_axis` gathers — the round-1 perf killer.
+    orient_codes: tuple
 
     deg_e: jnp.ndarray  # [E] int32 true per-element degree (≤ deg)
 
@@ -98,6 +106,7 @@ class MeshData:
     nbr_face: jnp.ndarray  # [E, 2d]
     perm_l: jnp.ndarray  # [E, 2d, nfl_flat] neighbor lobatto node perm
     perm_q: jnp.ndarray  # [E, 2d, nfq_flat]
+    orient_code: jnp.ndarray  # [E, 2d] int32 face orientation code
     bnd_mask: jnp.ndarray  # [E, 2d] bool (True on physical boundary)
     conf_mask: jnp.ndarray  # [E, 2d] bool (conforming OR boundary: handled
     #                         by the fused face kernel; hanging faces are
@@ -123,6 +132,17 @@ class MeshData:
     hf_perm_l: jnp.ndarray  # [M*K, nfl_flat] coarse-frame -> fine-frame
     hf_perm_q: jnp.ndarray  # [M*K, nfq_flat]
 
+    # --- compact affine factors (None for curved geometries) ------------
+    # Affine tree maps have constant Jacobians, so one value per element
+    # replaces one per quadrature point — ~nq^dim less HBM traffic on the
+    # hot path (the factor arrays, not u, dominate the SIPG apply's
+    # memory footprint).
+    j_c: jnp.ndarray | None = None  # [E]
+    drdx_c: jnp.ndarray | None = None  # [E, dim(l), dim(d)]
+    wjgg_c: jnp.ndarray | None = None  # [E, dim, dim] J·Σ_k g_lk g_mk
+    face_sj_c: jnp.ndarray | None = None  # [E, 2d]
+    face_n_c: jnp.ndarray | None = None  # [E, 2d, dim]
+
     @property
     def forest(self) -> Forest:
         return self.aux.forest
@@ -137,7 +157,19 @@ class MeshData:
 
     @property
     def n_elements(self) -> int:
-        return self.j_quad.shape[0]
+        return self.deg_e.shape[0]
+
+    def j_at_quad(self, dtype=None):
+        """J at volume quadrature points [E, nq...]; broadcast from the
+        compact constant when the full array was not stored."""
+        if self.j_quad is not None:
+            j = self.j_quad
+        else:
+            j = jnp.broadcast_to(
+                self.j_c.reshape((-1,) + (1,) * self.dim),
+                (self.n_elements,) + (self.nq,) * self.dim,
+            )
+        return j if dtype is None else j.astype(dtype)
 
     @property
     def nl(self) -> int:
@@ -209,7 +241,7 @@ def _l2_norm_sqr(mesh: "MeshData", u):
     return jnp.sum(integrand.reshape(u.shape[0], -1), axis=1)
 
 
-_MESH_META = ["dim", "deg", "deg_quad", "quad", "aux"]
+_MESH_META = ["dim", "deg", "deg_quad", "quad", "aux", "affine", "orient_codes"]
 jax.tree_util.register_dataclass(
     MeshData,
     data_fields=[
@@ -230,11 +262,18 @@ def build_mesh(
     penalty_prefactor: float = 2.0,
     penalty_fcn: str = "maxp_sqr_over_minh",
     deg_e: np.ndarray | None = None,
+    store_full: bool = True,
 ) -> MeshData:
     """`deg_e` (optional [E] int): true per-element degrees for hp meshes.
     Storage stays at `deg` (must be >= max(deg_e)); penalties use the true
     degrees, matching the reference's per-element `deg` in
-    `d4est_laplacian_flux_sipg.c:946-1005`."""
+    `d4est_laplacian_flux_sipg.c:946-1005`.
+
+    `store_full=False` (affine geometries only): skip the per-quad-point
+    factor arrays entirely — the compact constants are exact, and large
+    production meshes cannot afford ~nq^dim× redundant factor storage.
+    Consumers that need full arrays (estimator, VTK xyz) require
+    store_full meshes."""
     quad = quad or Quadrature("legendre")
     deg_quad = deg if deg_quad is None else deg_quad
     dim = forest.dim
@@ -250,6 +289,9 @@ def build_mesh(
             raise ValueError("deg_e exceeds storage degree")
 
     ft = build_face_tables(forest)
+    affine = bool(getattr(geom, "is_affine", False))
+    if not affine and not store_full:
+        raise ValueError("store_full=False requires an affine geometry")
 
     tree = jnp.asarray(forest.tree, jnp.int32)
     anchor = jnp.asarray(forest.anchor, jnp.float64) / ROOT
@@ -257,20 +299,61 @@ def build_mesh(
     nbr_elem = jnp.asarray(ft.nbr_elem, jnp.int32)
     nbr_face = jnp.asarray(ft.nbr_face, jnp.int32)
 
-    fac = _compute_all_factors(
-        geom,
-        dim,
-        deg,
-        deg_quad,
-        quad,
-        (penalty_fcn, float(penalty_prefactor)),
-        tree,
-        anchor,
-        hfrac,
-        nbr_elem,
-        nbr_face,
-        jnp.asarray(deg_e, jnp.float64),
-    )
+    compact = {}
+    if affine:
+        compact = _compute_affine_factors(
+            geom,
+            dim,
+            (penalty_fcn, float(penalty_prefactor)),
+            tree,
+            anchor,
+            hfrac,
+            nbr_elem,
+            nbr_face,
+            jnp.asarray(deg_e, jnp.float64),
+        )
+
+    if store_full:
+        fac = _compute_all_factors(
+            geom,
+            dim,
+            deg,
+            deg_quad,
+            quad,
+            (penalty_fcn, float(penalty_prefactor)),
+            tree,
+            anchor,
+            hfrac,
+            nbr_elem,
+            nbr_face,
+            jnp.asarray(deg_e, jnp.float64),
+        )
+    else:
+        fac = {
+            k: None
+            for k in (
+                "xyz_lobatto",
+                "xyz_quad",
+                "j_quad",
+                "wjgg",
+                "face_xyz_lobatto",
+                "face_xyz_quad",
+                "face_sj",
+                "face_n",
+                "face_drst",
+            )
+        }
+        fac.update(
+            {
+                k: compact.pop(k)
+                for k in ("volume", "area", "face_h", "sigma")
+            }
+        )
+    compact = {
+        k: v
+        for k, v in compact.items()
+        if k in ("j_c", "drdx_c", "wjgg_c", "face_sj_c", "face_n_c")
+    }
 
     # --- orientation perms (host) ---------------------------------------
     nfl_flat = nl ** (dim - 1)
@@ -369,21 +452,30 @@ def build_mesh(
             hf_perm_q=jnp.zeros((0, nfq_flat), jnp.int32),
         )
 
+    conf_codes = ft.orient[(ft.kind == CONF)]
+    orient_codes = tuple(
+        sorted(int(c) for c in np.unique(conf_codes) if c != 0)
+    )
+
     return MeshData(
         dim=dim,
         deg=deg,
         deg_quad=deg_quad,
         quad=quad,
         aux=MeshAux(geom=geom, forest=forest, ft=ft),
+        affine=affine,
+        orient_codes=orient_codes,
         deg_e=jnp.asarray(deg_e, jnp.int32),
         nbr_elem=nbr_elem,
         nbr_face=nbr_face,
         perm_l=jnp.asarray(perm_l),
         perm_q=jnp.asarray(perm_q),
+        orient_code=jnp.asarray(ft.orient.astype(np.int32)),
         bnd_mask=jnp.asarray(ft.kind == BOUNDARY),
         conf_mask=jnp.asarray((ft.kind == CONF) | (ft.kind == BOUNDARY)),
         **mortar,
         **fac,
+        **compact,
     )
 
 
@@ -492,6 +584,60 @@ def _compute_all_factors(
         face_h=face_h,
         volume=volume,
         area=area,
+        sigma=sigma,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _compute_affine_factors(
+    geom, dim, penalty, tree, anchor, hfrac, nbr_elem, nbr_face, deg_e
+):
+    """Compact per-element factors for affine geometries: the Jacobian is
+    constant, so ONE evaluation at the element center replaces the full
+    quadrature grid.  Exact (not an approximation) when `geom.is_affine`.
+
+    Convention: `wjgg_c` excludes the separable quadrature weights (the
+    apply multiplies by w⊗w⊗w in-register), unlike the full `wjgg` which
+    bakes them in."""
+    penalty_fcn, penalty_prefactor = penalty
+    center = jnp.zeros((1, dim))
+    fac = _factors(geom, tree, anchor, hfrac, center)
+    j_c = fac["J"][:, 0]  # [E]
+    drdx_c = fac["drdx"][:, 0]  # [E, l, d]
+    gg = jnp.einsum("elk,emk->elm", drdx_c, drdx_c)
+    wjgg_c = j_c[:, None, None] * gg
+
+    # face normals / surface jacobians from the same constants
+    sj_list, n_list = [], []
+    for f in range(2 * dim):
+        a0, side = divmod(f, 2)
+        sign = -1.0 if side == 0 else 1.0
+        ntilde = sign * j_c[:, None] * drdx_c[:, a0, :]  # [E, d]
+        sj = jnp.sqrt(jnp.sum(ntilde**2, axis=-1))
+        sj_list.append(sj)
+        n_list.append(ntilde / sj[:, None])
+    face_sj_c = jnp.stack(sj_list, axis=1)  # [E, 2d]
+    face_n_c = jnp.stack(n_list, axis=1)  # [E, 2d, d]
+
+    volume = j_c * (2.0**dim)
+    area = face_sj_c * (2.0 ** (dim - 1))
+    face_h = volume[:, None] / area
+    h_m = face_h
+    h_p = face_h[nbr_elem, nbr_face]
+    p_m = jnp.broadcast_to(deg_e[:, None], h_m.shape)
+    p_p = deg_e[nbr_elem]
+    sigma = sigma_from_degrees(
+        penalty_fcn, penalty_prefactor, p_m, p_p, h_m, h_p
+    )
+    return dict(
+        j_c=j_c,
+        drdx_c=drdx_c,
+        wjgg_c=wjgg_c,
+        face_sj_c=face_sj_c,
+        face_n_c=face_n_c,
+        volume=volume,
+        area=area,
+        face_h=face_h,
         sigma=sigma,
     )
 

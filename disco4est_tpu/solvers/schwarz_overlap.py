@@ -306,12 +306,19 @@ def build_overlapping_schwarz(
             hf_perm_q=jnp.zeros((0, nq ** (dim - 1)), jnp.int32),
         )
 
+    compact = {
+        k: (None if getattr(mesh, k) is None else g(getattr(mesh, k)))
+        for k in ("j_c", "drdx_c", "wjgg_c", "face_sj_c", "face_n_c")
+    }
     rep_mesh = MeshData(
         dim=dim,
         deg=mesh.deg,
         deg_quad=mesh.deg_quad,
         quad=mesh.quad,
         aux=MeshAux(geom=mesh.geom, forest=forest, ft=ft),
+        affine=mesh.affine,
+        orient_codes=mesh.orient_codes,
+        orient_code=g(mesh.orient_code),
         deg_e=g(mesh.deg_e),
         xyz_lobatto=g(mesh.xyz_lobatto),
         xyz_quad=g(mesh.xyz_quad),
@@ -333,6 +340,7 @@ def build_overlapping_schwarz(
         bnd_mask=jnp.asarray(bnd_mask),
         conf_mask=jnp.asarray(conf_mask),
         **hc,
+        **compact,
     )
 
     # ---- masks & weights (node strips) -----------------------------------

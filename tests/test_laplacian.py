@@ -146,3 +146,18 @@ def test_poisson_sinx_regression_3d():
     assert mesh.n_elements == 64
     assert mesh.local_nodes == 512
     assert abs(err - 0.024413557923538) < 1e-12, err
+
+
+def test_volume_modes_agree_anisotropic():
+    """dense (flattened-GEMM) and tensor volume paths must agree on an
+    ANISOTROPIC element (regression: the dense path's Kronecker factors
+    were assembled in reversed axis order, which cancels on isotropic
+    bricks but silently corrupts every curved/anisotropic mesh)."""
+    geom = BrickGeometry(x1=(1.0, 2.0, 4.0), dim=3)
+    forest = Forest.uniform(geom.conn, 1)
+    mesh = build_mesh(geom, forest, deg=2, deg_quad=3)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((mesh.n_elements,) + (3,) * 3))
+    a_t = apply_sipg(mesh, u, volume_mode="tensor")
+    a_d = apply_sipg(mesh, u, volume_mode="dense")
+    np.testing.assert_allclose(np.asarray(a_t), np.asarray(a_d), atol=1e-12)
