@@ -66,10 +66,16 @@ def test_stamm_amr_trajectory():
     errs = [r["L_2"] for r in result.norms.rows]
     assert len(errs) == 4
     assert errs[-1] < errs[0] * 0.5, errs
-    # the estimator must concentrate at the singular point (center):
-    eta2 = result.eta2_history[0]
-    forest = None  # center elements have highest eta2 -- spot check top
-    assert np.argsort(eta2)[-1] in np.arange(len(eta2))
+    # smooth_pred must actually ADAPT (non-uniform refinement), and every
+    # AMR step must improve the error.  (NOTE: u = poly·|x−c|³ has bounded
+    # third derivatives, so at deg 2 the interpolation error does NOT
+    # concentrate at c — concentration only emerges for p ≥ 3.  The
+    # round-1 "estimator concentrates at the singularity" assertion was
+    # both vacuous as written and wrong for this config.)
+    forest = result.mesh.forest
+    lv = forest.level
+    assert lv.max() > lv.min(), "smooth_pred produced uniform refinement"
+    assert all(e2 < e1 for e1, e2 in zip(errs, errs[1:])), errs
     print("Stamm L2 trajectory:", errs)
 
 
