@@ -56,3 +56,29 @@ def apply_mass_fof_lin(mesh: MeshData, u0, v, dfof):
     return tensor.apply_iso(
         Vq.T, w * mesh.j_quad.astype(dtype) * c_q * v_q, mesh.dim
     )
+
+
+def assemble_fof_blocks(mesh: MeshData, u0, dfof, dtype=None):
+    """Per-element dense blocks [E, n, n] of the frozen-u0 term
+    Vᵀ diag(w·J·f'(x_q, u0_q)) V — the fine-level input of the multigrid
+    matrix operator (`d4est_solver_multigrid_matrix_operator.h:1-21`:
+    the reference assembles exactly these blocks, then restricts them
+    down the hierarchy; see `solvers/multigrid.set_matrix_operator`)."""
+    import numpy as np
+
+    dtype = dtype or u0.dtype
+    Vq, w = _quad_setup(mesh, dtype)
+    dim = mesh.dim
+    u0_q = tensor.apply_iso(Vq, u0.astype(dtype), dim)
+    xyz = tuple(mesh.xyz_quad[:, d].astype(dtype) for d in range(dim))
+    c_q = dfof(xyz, u0_q)  # [E, nq...]
+    E = c_q.shape[0]
+    diag = (w * mesh.j_at_quad(dtype) * c_q).reshape(E, -1)  # [E, nq^d]
+    # dense ⊗V once (host, static): [nq^d, nl^d], x-fastest flattening
+    Vfull = np.array([[1.0]])
+    V1 = np.asarray(mesh.quad.interp(mesh.deg, mesh.deg_quad))
+    for _ in range(dim):
+        Vfull = np.kron(Vfull, V1)
+    Vfull = jnp.asarray(Vfull, dtype)
+    # B = Vᵀ diag V, batched: [E, nl^d, nl^d]
+    return jnp.einsum("qi,eq,qj->eij", Vfull, diag, Vfull)

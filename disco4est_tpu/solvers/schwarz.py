@@ -44,7 +44,7 @@ def assemble_diag_blocks(mesh: MeshData, op=None):
     dim, nl = mesh.dim, mesh.nl
     E = mesh.n_elements
     n = nl**dim
-    eye = jnp.eye(n, dtype=mesh.j_quad.dtype)
+    eye = jnp.eye(n, dtype=mesh.sigma.dtype)
     basis = jnp.broadcast_to(
         eye.reshape(n, 1, *([nl] * dim)), (n, E, *([nl] * dim))
     )
