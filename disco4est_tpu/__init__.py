@@ -29,9 +29,26 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 # XLA compiles are expensive; keep a persistent on-disk cache so mesh-epoch
-# recompiles and test reruns are cheap.
+# recompiles and test reruns are cheap.  The cache is keyed by the host
+# CPU model: XLA:CPU AOT artifacts baked for one microarchitecture can
+# SIGILL on another (observed: cached avx512-targeted code crashing the
+# test suite after a VM migration).
+def _cpu_tag():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    return hashlib.md5(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "generic"
+
+
 _cache_dir = _os.environ.get(
-    "DISCO4EST_JAX_CACHE", _os.path.expanduser("~/.cache/disco4est_jax")
+    "DISCO4EST_JAX_CACHE",
+    _os.path.expanduser(f"~/.cache/disco4est_jax_{_cpu_tag()}"),
 )
 try:
     _os.makedirs(_cache_dir, exist_ok=True)

@@ -126,6 +126,41 @@ def _linear_solve_fcg_schwarz_hp(mesh, rhs, x0, M):
     )
 
 
+@jax.jit
+def _linear_solve_fcg_mg(hier, rhs, x0):
+    """FCG with one MG V-cycle as preconditioner
+    (`d4est_krylov_pc_multigrid` role)."""
+    from disco4est_tpu.solvers.multigrid import v_cycle
+
+    mesh = hier.meshes[0]
+
+    def M(r):
+        return v_cycle(hier, apply_sipg, r, jnp.zeros_like(r))
+
+    return fcg_solve(
+        lambda v: apply_sipg(mesh, v), rhs, x0=x0, M=M,
+        atol=5e-15, rtol=1e-20, max_iter=10000,
+    )
+
+
+@jax.jit
+def _linear_solve_cg_cheby(mesh, rhs, x0, bounds):
+    """CG with fixed-interval Chebyshev preconditioner
+    (`d4est_krylov_pc_cheby` role)."""
+    from disco4est_tpu.solvers.cheby import cheby_smooth
+
+    def M(r):
+        return cheby_smooth(
+            lambda v: apply_sipg(mesh, v), r, jnp.zeros_like(r),
+            bounds[0], bounds[1], 8,
+        )
+
+    return cg_solve(
+        lambda v: apply_sipg(mesh, v), rhs, x0=x0, M=M,
+        atol=5e-15, rtol=1e-20, max_iter=10000,
+    )
+
+
 def run_poisson(opts: Options, problem) -> DriverResult:
     """Linear Poisson AMR-solve loop on the configured geometry."""
     from disco4est_tpu.quadrature.quadrature import Quadrature
@@ -150,8 +185,10 @@ def run_poisson(opts: Options, problem) -> DriverResult:
     )
     if scheme not in ("uniform_h", "uniform_p", "smooth_pred"):
         raise ValueError(f"unknown [amr] scheme: {scheme!r}")
-    if pc_type not in ("none", "schwarz"):
+    if pc_type not in ("none", "schwarz", "multigrid", "cheby"):
         raise ValueError(f"unknown pc_type: {pc_type!r}")
+    ckpt = _Checkpointer(opts)
+    amr_history = []
 
     forest = Forest.uniform(geom.conn, level)
     norms = NormLog()
@@ -208,6 +245,64 @@ def run_poisson(opts: Options, problem) -> DriverResult:
             res = (
                 _linear_solve_fcg_schwarz_hp if mixed else _linear_solve_fcg_schwarz
             )(mesh, rhs, x0, M)
+        elif pc_type == "multigrid":
+            if mixed:
+                raise NotImplementedError(
+                    "pc_type=multigrid on mixed-degree hp meshes: use "
+                    "schwarz or run p-uniform"
+                )
+            from disco4est_tpu.solvers.multigrid import (
+                MGParams,
+                build_hierarchy,
+                estimate_bounds,
+            )
+
+            hier = build_hierarchy(
+                mesh,
+                MGParams(
+                    n_smooth=opts.get_int(
+                        "mg_smoother_cheby", "cheby_imax", 8
+                    ),
+                    smoother=opts.get("multigrid", "smoother", "cheby"),
+                    bottom=opts.get("multigrid", "bottom_solver", "cg"),
+                ),
+            )
+            estimate_bounds(
+                hier, apply_sipg,
+                lambda m: m.init_field(
+                    lambda *c: sum(jnp.sin(3 * x) for x in c)
+                ),
+            )
+            res = _linear_solve_fcg_mg(hier, rhs, x0)
+        elif pc_type == "cheby":
+            if mixed:
+                raise NotImplementedError("pc_type=cheby on hp meshes")
+            from disco4est_tpu.solvers.eigs import cg_eigs
+
+            _, lmax = jax.jit(
+                lambda m, v: cg_eigs(lambda w: apply_sipg(m, w), v, 10)
+            )(mesh, rhs)
+            bounds = jnp.asarray([float(lmax) / 30.0, float(lmax)])
+            res = _linear_solve_cg_cheby(mesh, rhs, x0, bounds)
+        elif ckpt.prefix and ckpt.every_n:
+            # mid-solve checkpointing path: chunked Krylov with EXACT
+            # state resume (`krylov_petsc.c:236-245` role)
+            Afn = (lambda v: apply_sipg_hp(mesh, v)) if mixed else (
+                lambda v: apply_sipg(mesh, v)
+            )
+            solver = fcg_solve if ksp == "fcg" else cg_solve
+            state = None
+            k_cap = ckpt.every_n
+            while True:
+                res, state = solver(
+                    Afn, rhs, x0=x0, atol=5e-15, rtol=1e-20,
+                    max_iter=k_cap, resume_state=state, return_state=True,
+                )
+                k = int(res.iterations)
+                ckpt.save_midsolve(forest, it, k, res.x, storage)
+                if k < k_cap or float(res.residual_norm) < 5e-15:
+                    break
+                k_cap += ckpt.every_n
         else:
             res = (_linear_solve_cg_hp if mixed else solve)(mesh, rhs, x0)
         u = res.x
@@ -218,6 +313,27 @@ def run_poisson(opts: Options, problem) -> DriverResult:
             mesh,
             L_2=norm_L2(mesh, u_max - u_a),
             L_infty=norm_Linfty(u_max - u_a),
+        )
+
+        _vtk_maybe(
+            opts, mesh, it,
+            fields={
+                "u": u_max,
+                "error": u_max - u_a,
+            },
+            cells={"deg": np.asarray(deg_e)},
+        )
+        ckpt.save_level(
+            forest, it, {"u": u_max}, storage,
+            history=[np.asarray(h) for h in amr_history],
+            extra={
+                "deg_e": np.asarray(deg_e).tolist(),
+                "predictor": (
+                    np.asarray(sp_state.predictor).tolist()
+                    if sp_state is not None
+                    else None
+                ),
+            },
         )
 
         if it == n_amr:
@@ -240,6 +356,7 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                 eta2, deg_e, sp_state, sp_params, dim=mesh.dim
             )
             sp_state = SmoothPredState(pred)
+        amr_history.append(np.asarray(log))
         new_forest, new_deg_e, fields, new_storage = amr_step_hp(
             forest, deg_e, log, {"u": u}, storage, max_degree
         )
@@ -251,5 +368,408 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                 )
             )
         forest, deg_e, storage = new_forest, new_deg_e, new_storage
+
+    return DriverResult(mesh=mesh, u=u, norms=norms, eta2_history=eta2_hist)
+
+
+# ---------------------------------------------------------------------------
+# Nonlinear problems (Newton-Krylov outer loop)
+# ---------------------------------------------------------------------------
+#
+# Role of the reference's nonlinear problem drivers
+# (`Problems/TwoPunctures/two_punctures_cactus.c:280-660`,
+# `ConstantDensityStar/constant_density_star.c`): per AMR level, build the
+# mesh, solve with Newton (inner Krylov optionally MG/Schwarz/Cheby
+# preconditioned, with the frozen-u0 matrix operator restricted through
+# the MG hierarchy), compute the bi estimator on the residual, mark with
+# smooth_pred, refine + transfer, repeat.
+
+
+class CDSProblem:
+    """ConstantDensityStar adapter (`Problems/ConstantDensityStar/`)."""
+
+    nonlinear = True
+    bc_type = "dirichlet"
+    name = "constant_density_star"
+
+    def __init__(self, opts: Options | None = None):
+        from disco4est_tpu.problems import constant_density_star as cds
+
+        o = opts or Options.load("[problem]\n")
+        self.mod = cds
+        self.params = cds.CDSParams.create(
+            R=o.get_float("problem", "R", 0.0625),
+            cx=o.get_float("problem", "cx", 0.5),
+            cy=o.get_float("problem", "cy", 0.5),
+            cz=o.get_float("problem", "cz", 0.5),
+            rho0_div_rhoc=o.get_float("problem", "rho0_div_rhoc", 0.001),
+        )
+
+    def boundary(self, *c):
+        return jnp.ones_like(c[0])
+
+    def initial_guess(self, *c):
+        return self.params.initial_guess(*c)
+
+    def analytic(self, *c):
+        return self.params.psi(*c)
+
+    def residual(self, mesh, u, bc):
+        return self.mod.residual(mesh, u, bc, self.params)
+
+    def jacobian_apply(self, mesh, u0, v, bc):
+        return self.mod.jacobian_apply(mesh, u0, v, self.params)
+
+    def dfof(self):
+        params = self.params
+        return lambda xyz, u0q: -10.0 * jnp.pi * params.rho(*xyz) * u0q**4
+
+
+class OkendonProblem:
+    """Okendon p-laplacian-type adapter (`Problems/Okendon/`)."""
+
+    nonlinear = True
+    bc_type = "dirichlet"
+    name = "okendon"
+
+    def __init__(self, opts: Options | None = None):
+        from disco4est_tpu.problems import okendon as ok
+
+        o = opts or Options.load("[problem]\n")
+        self.mod = ok
+        self.params = ok.OkendonParams(
+            p=o.get_float("problem", "p", 0.5)
+        )
+
+    def boundary(self, *c):
+        return self.params.boundary(*c)
+
+    def initial_guess(self, *c):
+        return self.params.initial_guess(*c)
+
+    def analytic(self, *c):
+        return self.params.analytic(*c)
+
+    def residual(self, mesh, u, bc):
+        return self.mod.residual(mesh, u, bc, self.params)
+
+    def jacobian_apply(self, mesh, u0, v, bc):
+        return self.mod.jacobian_apply(mesh, u0, v, self.params)
+
+    def dfof(self):
+        params = self.params
+        return lambda xyz, u0q: params.p / (
+            u0q * u0q + 1e-300
+        ) ** (0.5 * (1.0 - params.p))
+
+
+class TwoPuncturesProblem:
+    """TwoPunctures adapter (`Problems/TwoPunctures/two_punctures_cactus.c`),
+    Robin BC u/r + du/dn = 0 at the outer sphere."""
+
+    nonlinear = True
+    bc_type = "robin"
+    name = "two_punctures"
+    analytic = None
+
+    def __init__(self, opts: Options | None = None):
+        from disco4est_tpu.problems import two_punctures as tp
+
+        o = opts or Options.load("[problem]\n")
+        self.mod = tp
+        self.params = tp.TwoPuncturesParams(
+            par_b=o.get_float("problem", "par_b", 3.0),
+            m_plus=o.get_float("problem", "M_plus", 0.5),
+            m_minus=o.get_float("problem", "M_minus", 0.5),
+            P_plus=(0.0, o.get_float("problem", "Py_plus", 0.2), 0.0),
+            P_minus=(0.0, o.get_float("problem", "Py_minus", -0.2), 0.0),
+        )
+
+    def robin_coeff_values(self, mesh):
+        return mesh.boundary_values_quad(self.params.robin_coeff)
+
+    def initial_guess(self, *c):
+        return self.params.initial_guess(*c)
+
+    def residual(self, mesh, u, bc):
+        return self.mod.residual(mesh, u, self.params, bc)
+
+    def jacobian_apply(self, mesh, u0, v, bc):
+        return self.mod.jacobian_apply(mesh, u0, v, self.params, bc)
+
+    def dfof(self):
+        params = self.params
+
+        def dfof(xyz, u0q):
+            x, y, z = xyz
+            psi = params.psi_puncture(x, y, z, u0q)
+            return 0.875 * params.KK(x, y, z) / psi**8
+
+        return dfof
+
+
+def _vtk_maybe(opts, mesh, it, fields, cells=None):
+    """Per-AMR-level VTK output when [d4est_vtk] filename is set
+    (`d4est_vtk_save` role)."""
+    base = opts.get("d4est_vtk", "filename", None)
+    if not base:
+        return
+    from disco4est_tpu.io.vtk import write_vtu
+
+    write_vtu(f"{base}_{it}.vtu", mesh, point_fields=fields,
+              cell_fields=cells)
+
+
+class _Checkpointer:
+    """[checkpoint] section: per-AMR-level checkpoints plus mid-solve
+    checkpoints every n Krylov/Newton iterations
+    (`d4est_solver_krylov_petsc.c:236-245`, `d4est_amr_smooth_pred.c:34`)."""
+
+    def __init__(self, opts: Options):
+        self.prefix = opts.get("checkpoint", "prefix", None)
+        self.every_n = opts.get_int(
+            "checkpoint", "checkpoint_every_n_krylov_its", 0
+        )
+        self.deg = None
+
+    def save_level(self, forest, it, fields, deg, history=None, extra=None):
+        if not self.prefix:
+            return
+        from disco4est_tpu.io import checkpoint as ckpt
+
+        ckpt.save(
+            f"{self.prefix}_level{it}", forest,
+            {k: np.asarray(v) for k, v in fields.items()},
+            deg=deg, amr_history=history, extra=extra,
+        )
+
+    def save_midsolve(self, forest, it, k, u, deg):
+        if not self.prefix:
+            return
+        from disco4est_tpu.io import checkpoint as ckpt
+
+        ckpt.save(
+            f"{self.prefix}_level{it}_it{k}", forest,
+            {"u": np.asarray(u)}, deg=deg,
+            extra={"mid_solve_iteration": int(k)},
+        )
+
+
+def run_nonlinear(opts: Options, problem) -> DriverResult:
+    """Nonlinear AMR solve loop: Newton-Krylov per level, bi-estimator +
+    smooth_pred marking between levels."""
+    from disco4est_tpu.quadrature.quadrature import Quadrature
+    from disco4est_tpu.solvers.newton import NewtonParams, newton_solve
+    from disco4est_tpu.solvers.multigrid import (
+        MGParams,
+        build_hierarchy,
+        estimate_bounds,
+        set_matrix_operator,
+        v_cycle,
+    )
+    from disco4est_tpu.laplacian.nonlinear import assemble_fof_blocks
+
+    geom = geometry_from_options(opts)
+    level = opts.get_int("initial_mesh", "min_level", required=True)
+    deg = opts.get_int("initial_mesh", "region0_deg", 1)
+    dq_inc = opts.get_int("initial_mesh", "region0_deg_quad_inc", 0)
+    quad_name = opts.get("quadrature", "name", "legendre")
+    quad = Quadrature("legendre" if quad_name == "legendre" else "lobatto")
+    penalty_fcn = opts.get("flux", "sipg_penalty_fcn", "maxp_sqr_over_minh")
+    prefactor = opts.get_float("flux", "sipg_penalty_prefactor", 2.0)
+    scheme = opts.get("amr", "scheme", "uniform_h")
+    n_amr = opts.get_int("amr", "num_of_amr_steps", 0)
+    ksp = opts.get("d4est_solver_krylov_petsc", "ksp_type", "fcg")
+    ksp_iters = opts.get_int("d4est_solver_krylov_petsc", "ksp_max_it", 10000)
+    pc_type = opts.get("d4est_solver_krylov_petsc", "pc_type", "none")
+    if scheme not in ("uniform_h", "smooth_pred", "none"):
+        raise ValueError(f"unknown nonlinear [amr] scheme: {scheme!r}")
+    if pc_type not in ("none", "schwarz", "multigrid", "cheby"):
+        raise ValueError(f"unknown pc_type: {pc_type!r}")
+    newton_params = NewtonParams(
+        atol=opts.get_float("d4est_solver_newton", "snes_atol", 1e-11),
+        rtol=opts.get_float("d4est_solver_newton", "snes_rtol", 1e-50),
+        max_iter=opts.get_int("d4est_solver_newton", "snes_max_it", 30),
+        monitor=opts.get("d4est_solver_newton", "snes_monitor", False,
+                         cast=bool),
+    )
+    mg_params = MGParams(
+        n_smooth=opts.get_int("mg_smoother_cheby", "cheby_imax", 8),
+        eigs_cg_iters=opts.get_int(
+            "mg_smoother_cheby", "cheby_eigs_cg_imax", 10
+        ),
+        lmax_lmin_ratio=opts.get_float(
+            "mg_smoother_cheby", "cheby_eigs_lmax_lmin_ratio", 30.0
+        ),
+        smoother=opts.get("multigrid", "smoother", "cheby"),
+        bottom=opts.get("multigrid", "bottom_solver", "cg"),
+    )
+    ckpt = _Checkpointer(opts)
+    sp_params = SmoothPredParams(
+        gamma_h=opts.get_float("amr", "gamma_h", 10.0),
+        gamma_p=opts.get_float("amr", "gamma_p", 0.1),
+        gamma_n=opts.get_float("amr", "gamma_n", 1.0),
+        percentile=opts.get_float("amr", "percentile", 25.0),
+        max_degree=deg,  # h-only marking in the nonlinear driver
+        initial_pred=opts.get_float("amr", "initial_pred", 0.0),
+    )
+
+    forest = Forest.uniform(geom.conn, level)
+    norms = NormLog()
+    eta2_hist = []
+    u = None
+    sp_state = None
+    amr_history = []
+
+    for it in range(n_amr + 1):
+        mesh = build_mesh(
+            geom, forest, deg=deg, quad=quad, deg_quad=deg + dq_inc,
+            penalty_prefactor=prefactor, penalty_fcn=penalty_fcn,
+        )
+        if problem.bc_type == "robin":
+            bc = problem.robin_coeff_values(mesh)
+            g_est = None
+        else:
+            bc = mesh.boundary_values(problem.boundary)
+            g_est = bc
+        if u is None or u.shape[0] != mesh.n_elements:
+            u = mesh.init_field(problem.initial_guess)
+
+        hier = None
+        if pc_type == "multigrid":
+            hier = build_hierarchy(mesh, mg_params)
+            estimate_bounds(
+                hier, apply_sipg,
+                lambda m: m.init_field(
+                    lambda *c: sum(jnp.sin(3 * x) for x in c)
+                ),
+            )
+        schwarz_M = None
+        if pc_type == "schwarz":
+            from disco4est_tpu.solvers.schwarz_overlap import (
+                build_overlapping_schwarz,
+            )
+
+            schwarz_M = build_overlapping_schwarz(
+                mesh,
+                num_nodes_overlap=opts.get_int(
+                    "d4est_solver_schwarz", "num_nodes_overlap", 1
+                ),
+                iterations=opts.get_int(
+                    "d4est_solver_schwarz", "subdomain_iter", 15
+                ),
+            )
+        cheby_bounds = None
+        if pc_type == "cheby":
+            from disco4est_tpu.solvers.eigs import cg_eigs
+
+            seed = mesh.init_field(
+                lambda *c: sum(jnp.sin(3 * x) for x in c)
+            )
+            _, lmax = jax.jit(
+                lambda m, v: cg_eigs(lambda w: apply_sipg(m, w), v, 10)
+            )(mesh, seed)
+            cheby_bounds = (float(lmax) / 30.0, float(lmax))
+
+        from disco4est_tpu.solvers.cheby import cheby_smooth
+
+        def jac_solve(u0_, rhs_, rtol, _mesh=mesh, _bc=bc, _hier=hier):
+            M = None
+            use_flexible = ksp == "fcg"
+            if pc_type == "multigrid":
+                B = assemble_fof_blocks(_mesh, u0_, problem.dfof())
+                set_matrix_operator(_hier, B)
+
+                def M(r):
+                    return v_cycle(
+                        _hier, apply_sipg, r, jnp.zeros_like(r)
+                    )
+
+                use_flexible = True
+            elif pc_type == "schwarz":
+                M = schwarz_M
+                use_flexible = True
+            elif pc_type == "cheby":
+                def M(r):
+                    return cheby_smooth(
+                        lambda v: apply_sipg(_mesh, v), r,
+                        jnp.zeros_like(r), cheby_bounds[0],
+                        cheby_bounds[1], 8,
+                    )
+
+            Afn = lambda v: problem.jacobian_apply(_mesh, u0_, v, _bc)
+            if use_flexible:
+                res = fcg_solve(
+                    Afn, rhs_, M=M, atol=0.0, rtol=rtol,
+                    max_iter=ksp_iters,
+                )
+            else:
+                res = cg_solve(
+                    Afn, rhs_, M=M, atol=0.0, rtol=rtol,
+                    max_iter=ksp_iters,
+                )
+            return res.x
+
+        def newton_cb(k, u_k, fnorm, _it=it, _forest=forest):
+            if ckpt.every_n and k % ckpt.every_n == 0:
+                ckpt.save_midsolve(_forest, _it, k, u_k, deg)
+
+        res = newton_solve(
+            lambda v: problem.residual(mesh, v, bc),
+            jac_solve,
+            u,
+            newton_params,
+            callback=newton_cb,
+        )
+        u = res.u
+
+        row = {"newton_its": res.iterations, "F_norm": res.residual_norm}
+        if problem.analytic is not None:
+            u_a = mesh.init_field(problem.analytic)
+            row["L_2"] = norm_L2(mesh, u - u_a)
+            row["L_infty"] = norm_Linfty(u - u_a)
+        norms.add(mesh, **row)
+
+        F = problem.residual(mesh, u, bc)
+        eta2 = np.asarray(
+            estimate_bi(mesh, u, F, g=g_est, penalty_prefactor=prefactor)
+        )
+        eta2_hist.append(eta2)
+        norms.rows[-1]["eta2_sum"] = float(eta2.sum())
+
+        _vtk_maybe(
+            opts, mesh, it,
+            fields={"u": u},
+            cells={"eta2": eta2},
+        )
+        ckpt.save_level(
+            forest, it, {"u": u}, deg,
+            history=[np.asarray(h) for h in amr_history],
+            extra={"problem": problem.name},
+        )
+
+        if it == n_amr or scheme == "none":
+            break
+        if scheme == "uniform_h":
+            log = -np.full(mesh.n_elements, deg, np.int64)
+        else:
+            if sp_state is None or len(sp_state.predictor) != mesh.n_elements:
+                sp_state = SmoothPredState.fresh(mesh.n_elements, sp_params)
+            log, pred = smooth_pred_mark(
+                eta2, np.full(mesh.n_elements, deg, np.int32),
+                sp_state, sp_params, dim=mesh.dim,
+            )
+        amr_history.append(np.asarray(log))
+        new_forest = refine_and_balance(forest, np.asarray(log) < 0)
+        u = transfer_field(forest, new_forest, u, deg)
+        if scheme == "smooth_pred":
+            sp_state = SmoothPredState(
+                transfer_predictor(
+                    forest, new_forest, pred,
+                    np.full(mesh.n_elements, deg, np.int32),
+                    sp_params, log,
+                )
+            )
+        forest = new_forest
 
     return DriverResult(mesh=mesh, u=u, norms=norms, eta2_history=eta2_hist)

@@ -35,15 +35,26 @@ def cg_solve(
     atol: float = 1e-15,
     rtol: float = 1e-15,
     max_iter: int = 10000,
+    resume_state=None,
+    return_state: bool = False,
 ) -> CGResult:
     """Solve A x = b.  `A` (and optional preconditioner `M`) are
-    matrix-free callables on pytree-shaped fields."""
+    matrix-free callables on pytree-shaped fields.
+
+    Mid-solve checkpointing (`d4est_solver_krylov_petsc.c:236-245` role):
+    pass `return_state=True` to get the full Krylov state back, persist
+    it, and continue EXACTLY (no restart, no lost conjugacy) by passing
+    it as `resume_state` with a larger `max_iter` cap."""
     x0 = jnp.zeros_like(b) if x0 is None else x0
     M = M or (lambda v: v)
 
-    r0 = b - A(x0)
-    z0 = M(r0)
-    rz0 = _dot(r0, z0)
+    if resume_state is None:
+        r0 = b - A(x0)
+        z0 = M(r0)
+        rz0 = _dot(r0, z0)
+        state = (x0, r0, z0, z0, rz0, jnp.asarray(0))
+    else:
+        state = resume_state
     bnorm = jnp.sqrt(_dot(b, b))
     tol2 = jnp.maximum(atol, rtol * bnorm) ** 2
 
@@ -63,6 +74,7 @@ def cg_solve(
         p = z + beta * p
         return (x, r, z, p, rz_new, k + 1)
 
-    state = (x0, r0, z0, z0, rz0, jnp.asarray(0))
-    x, r, _, _, _, k = jax.lax.while_loop(cond, body, state)
-    return CGResult(x=x, iterations=k, residual_norm=jnp.sqrt(_dot(r, r)))
+    final = jax.lax.while_loop(cond, body, state)
+    x, r, _, _, _, k = final
+    res = CGResult(x=x, iterations=k, residual_norm=jnp.sqrt(_dot(r, r)))
+    return (res, final) if return_state else res

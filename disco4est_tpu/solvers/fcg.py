@@ -34,18 +34,18 @@ def fcg_solve(
     atol: float = 1e-15,
     rtol: float = 1e-20,
     max_iter: int = 1000,
+    resume_state=None,
+    return_state: bool = False,
 ) -> FCGResult:
-    """Flexible CG (Notay variant, one-direction truncation)."""
+    """Flexible CG (Notay variant, one-direction truncation).
+
+    `resume_state`/`return_state`: exact mid-solve checkpoint/continue
+    (`d4est_solver_fcg_improved.c:319` checkpoint-hook role)."""
     x0 = jnp.zeros_like(b) if x0 is None else x0
     M = M or (lambda v: v)
 
-    r0 = b - A(x0)
     bnorm = jnp.sqrt(_dot(b, b))
     tol2 = jnp.maximum(atol, rtol * bnorm) ** 2
-
-    z0 = M(r0)
-    p0 = z0
-    Ap0 = A(p0)
 
     def cond(state):
         x, r, p, Ap, k = state
@@ -65,6 +65,14 @@ def fcg_solve(
         Ap = Az + beta * Ap
         return (x, r, p, Ap, k + 1)
 
-    state = (x0, r0, p0, Ap0, jnp.asarray(0))
-    x, r, _, _, k = jax.lax.while_loop(cond, body, state)
-    return FCGResult(x=x, iterations=k, residual_norm=jnp.sqrt(_dot(r, r)))
+    if resume_state is None:
+        r0 = b - A(x0)
+        p0 = M(r0)
+        Ap0 = A(p0)
+        state = (x0, r0, p0, Ap0, jnp.asarray(0))
+    else:
+        state = resume_state
+    final = jax.lax.while_loop(cond, body, state)
+    x, r, _, _, k = final
+    res = FCGResult(x=x, iterations=k, residual_norm=jnp.sqrt(_dot(r, r)))
+    return (res, final) if return_state else res

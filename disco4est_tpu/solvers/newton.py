@@ -42,7 +42,11 @@ def newton_solve(
     jacobian_solve: Callable,  # (u0, rhs, rtol) -> du  solving J(u0) du = rhs
     u0,
     params: NewtonParams = NewtonParams(),
+    callback: Callable | None = None,  # (it, u, fnorm) per Newton iterate
 ) -> NewtonResult:
+    """`callback`: invoked after every accepted Newton step — the
+    reference checkpoints there every n iterations
+    (`d4est_solver_newton_petsc.c:232-245`, `newton.c:325`)."""
     u = u0
     F = residual(u)
     fnorm = float(jnp.sqrt(jnp.vdot(F.reshape(-1), F.reshape(-1)).real))
@@ -67,6 +71,8 @@ def newton_solve(
             lam *= 0.5
         u, F, fnorm = u_try, F_try, fnorm_try
         history.append(fnorm)
+        if callback is not None:
+            callback(it + 1, u, fnorm)
         if params.monitor:
             print(f"newton it {it + 1}: ||F|| = {fnorm:.14e} (lambda={lam})")
     return NewtonResult(

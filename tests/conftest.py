@@ -22,3 +22,20 @@ import jax
 # (which wins over the env var).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop jitted executables between test modules.
+
+    The in-memory pjit cache accumulates hundreds of compiled programs
+    over the suite; past ~3-4 GB the XLA:CPU compiler crashes (SIGSEGV /
+    SIGABRT inside compilation, upstream bug — reproducible only in long
+    accumulated runs, never in isolation).  The persistent on-disk
+    compilation cache keeps the recompiles cheap.
+    """
+    yield
+    jax.clear_caches()
