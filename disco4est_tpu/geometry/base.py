@@ -80,6 +80,10 @@ class Geometry:
     dim: int
     conn: Connectivity
     is_affine: bool = False
+    # True when every tree map is axis-aligned (diagonal Jacobian): the
+    # volume factor matrix wjgg is diagonal and the fast GEMM-form apply
+    # (laplacian/fast.py) uses 3 volume blocks instead of 6.
+    is_orthogonal: bool = False
 
     def x(self, tree, rst):
         """Physical coordinates; rst [..., dim] -> [..., dim]."""

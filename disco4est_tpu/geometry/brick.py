@@ -15,6 +15,7 @@ from disco4est_tpu.geometry.base import Connectivity, Geometry
 
 class BrickGeometry(Geometry):
     is_affine = True
+    is_orthogonal = True
 
     def __init__(
         self,

@@ -153,6 +153,17 @@ def apply_sipg(
     by ∫ sj·(c·u − r)·v): pass `robin_coeff` [E, 2d, nfq...] (values used
     on physical-boundary faces; typically `mesh.boundary_values_quad` of
     the coefficient function) and optionally `robin_rhs`."""
+    if volume_mode in ("auto", "fast"):
+        from disco4est_tpu.laplacian.fast import (
+            apply_sipg_fast,
+            fast_path_available,
+        )
+
+        if fast_path_available(mesh, neighbors, robin_coeff):
+            return apply_sipg_fast(mesh, u, g)
+        if volume_mode == "fast":
+            raise ValueError("fast path unavailable for this mesh/options")
+
     dim, deg, deg_quad = mesh.dim, mesh.deg, mesh.deg_quad
     nl, nq = deg + 1, deg_quad + 1
     E = u.shape[0]

@@ -143,6 +143,10 @@ class MeshData:
     face_sj_c: jnp.ndarray | None = None  # [E, 2d]
     face_n_c: jnp.ndarray | None = None  # [E, 2d, dim]
 
+    # static meta: True when the geometry is axis-aligned (wjgg diagonal);
+    # selects the 3-block volume GEMM in laplacian/fast.py.
+    orth: bool = False
+
     @property
     def forest(self) -> Forest:
         return self.aux.forest
@@ -241,7 +245,9 @@ def _l2_norm_sqr(mesh: "MeshData", u):
     return jnp.sum(integrand.reshape(u.shape[0], -1), axis=1)
 
 
-_MESH_META = ["dim", "deg", "deg_quad", "quad", "aux", "affine", "orient_codes"]
+_MESH_META = [
+    "dim", "deg", "deg_quad", "quad", "aux", "affine", "orient_codes", "orth"
+]
 jax.tree_util.register_dataclass(
     MeshData,
     data_fields=[
@@ -464,6 +470,7 @@ def build_mesh(
         quad=quad,
         aux=MeshAux(geom=geom, forest=forest, ft=ft),
         affine=affine,
+        orth=affine and bool(getattr(geom, "is_orthogonal", False)),
         orient_codes=orient_codes,
         deg_e=jnp.asarray(deg_e, jnp.int32),
         nbr_elem=nbr_elem,

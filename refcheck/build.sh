@@ -1,0 +1,41 @@
+#!/bin/bash
+# Build libd8est_core.a (DIM=3) + harness executables into ../refbuild/harness.
+set -u
+HERE="$(cd "$(dirname "$0")" && pwd)"
+REF=/root/reference/src
+B=$HERE/../refbuild
+INST=$B/install
+OUT=$B/harness
+mkdir -p $OUT/obj3 $OUT/run
+STUBS=$HERE/stubs
+INC="-I$STUBS -I$REF/pXest -I$REF/Utilities -I$REF/LinearAlgebra -I$REF/Kron -I$REF/dGMath -I$REF/Quadrature -I$REF/Geometry -I$REF/Mesh -I$REF/EllipticSystem -I$REF/Estimators -I$REF/hpAMR -I$REF/Solver -I$REF/IO -I$REF/Databox -I$REF/Dictionary -I$INST/include"
+SRCS=$(cat $HERE/core_sources.txt)
+fails=0
+OBJS="$OUT/obj3/stub_impls.o"
+gcc -c -O2 -g $STUBS/stub_impls.c -o $OUT/obj3/stub_impls.o -I$STUBS
+for f in $SRCS; do
+  b=$(basename $f .c)
+  o=$OUT/obj3/$b.o
+  if [ ! -f $o ] || [ $REF/$f -nt $o ]; then
+    gcc -c -O2 -g -DDIM=3 $INC -Wno-implicit-function-declaration $REF/$f -o $o 2> $OUT/obj3/$b.err
+    if [ $? -ne 0 ]; then echo "FAIL: $b"; fails=$((fails+1)); continue
+    else rm -f $OUT/obj3/$b.err; fi
+  fi
+  OBJS="$OBJS $o"
+done
+ar rcs $OUT/libd8est_core.a $OBJS
+echo "core: fails=$fails objs=$(echo $OBJS | wc -w)"
+LIBS="$OUT/libd8est_core.a -L$INST/lib -lp4est -lsc -lzlog -l:liblapack.so.3 -l:libblas.so.3 -lz -lm -lpthread"
+for h in "$@"; do
+  name=$(basename $h .c)
+  extra_inc=""
+  case $name in
+    poisson_sinx*|*lorentzian*) extra_inc="-I$REF/Problems/Poisson";;
+    stamm*) extra_inc="-I$REF/Problems/Stamm";;
+    *cds*|*constant*) extra_inc="-I$REF/Problems/ConstantDensityStar";;
+    *punctur*) extra_inc="-I$REF/Problems/TwoPunctures";;
+    *schwarz*) extra_inc="-I$REF/Tests/Unit";;
+  esac
+  gcc -O2 -g -DDIM=3 $INC $extra_inc -Wno-implicit-function-declaration $HERE/$h $LIBS -o $OUT/$name && echo "built $name"
+done
+cp -n /root/reference/src/IO/logging.conf $OUT/run/ 2>/dev/null || true

@@ -1,0 +1,1 @@
+#include "petstub_common.h"
