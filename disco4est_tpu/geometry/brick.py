@@ -45,6 +45,11 @@ class BrickGeometry(Geometry):
         self.tree_origin = grid[order].astype(np.float64)
         del order
         self.cell = (self.x1 - self.x0) / np.asarray(self.nt, np.float64)
+        # cubic cells => every element (any refinement level) is a cube and
+        # the wjgg factor is a multiple of the identity (MeshData.iso).
+        self.is_isotropic = bool(
+            np.allclose(self.cell, self.cell[0], rtol=1e-14)
+        )
 
     def _key(self):
         return (

@@ -11,12 +11,18 @@ re-formulated for the TPU MXU/HBM balance:
   Σ_blocks c_b ⊙ (u @ Q_b) with *shared dense [nv, nv] matrices* Q_b —
   contraction dimension nv = nl^dim (512 at deg 7) instead of nl (8):
   full MXU utilization instead of 6%, and zero [E, nq^dim] intermediates
-  in HBM.  Orthogonal geometries (brick) need 3 blocks; general affine 6.
+  in HBM.  Isotropic cells (cubes) need 1 block, orthogonal 3, general
+  affine 6.
 - **Faces live at Lobatto nodes.**  Both sides of a conforming face share
   the interpolation V, so every SIPG face term reduces to face-mass
   applies M̃_f = ⊗M̃ at Lobatto nodes: the inter-element exchange shrinks
-  to 2·nl^{dim-1} scalars per face (trace u_f and own-normal derivative
-  dn), gathered with one row gather.
+  to 2·nl^{dim-1} scalars per face (trace u_f and the raw normal
+  reference-derivative), gathered with one row gather straight out of
+  the trace GEMM's output.
+- **One fused lift GEMM.**  Both face-mass applies and the lift back to
+  volume nodes (plane scatter + tangential/normal Dᵀ) are fixed linear
+  maps; they compose into a single [*, nv] GEMM instead of ~14 strided
+  array passes.
 - Results are bit-for-bit the same discrete operator as the general path
   (exact same quadrature rule, reordered algebraically); f64 tests assert
   agreement to roundoff.
@@ -36,9 +42,7 @@ from disco4est_tpu.ops import tensor
 from disco4est_tpu.ops.operators import DB
 
 
-@functools.lru_cache(maxsize=None)
-def _host_mats(deg: int, deg_quad: int, quad_key, dim: int, orth: bool):
-    """Fixed f64 numpy matrices for the GEMM-form apply (host, cached)."""
+def _base_mats(deg: int, deg_quad: int, quad_key, dim: int):
     from disco4est_tpu.quadrature.quadrature import Quadrature
 
     quad = Quadrature(quad_key)
@@ -57,73 +61,119 @@ def _host_mats(deg: int, deg_quad: int, quad_key, dim: int, orth: bool):
             out = np.kron(out, fs[d])
         return out
 
-    # --- volume blocks -------------------------------------------------
-    if orth:
-        blocks = []
-        for l in range(dim):
-            blocks.append(
-                kron_dirs([Kt if a == l else Mt for a in range(dim)])
-            )
-        pairs = [(l, l) for l in range(dim)]
-    else:
-        blocks = []
-        pairs = [(l, l) for l in range(dim)] + [
-            (l, lp) for l in range(dim) for lp in range(l + 1, dim)
-        ]
-        for l, lp in pairs:
-            if l == lp:
-                blocks.append(
-                    kron_dirs([Kt if a == l else Mt for a in range(dim)])
-                )
-            else:
-                # T_{lp,l} + T_{l,lp}; both are kron products of
-                # {B̃ at axis l, B̃ᵀ at axis lp, M̃ else} and its transpose.
-                f1 = [Mt] * dim
-                f1[l] = Bt
-                f1[lp] = Bt.T
-                f2 = [Mt] * dim
-                f2[l] = Bt.T
-                f2[lp] = Bt
-                blocks.append(kron_dirs(f1) + kron_dirs(f2))
-    W_vol = np.concatenate(blocks, axis=1)  # [nv, nblk*nv] (blocks symm.)
-
-    # --- face selection + normal-derivative partial matrices ------------
     nfaces = 2 * dim
     nv = nl**dim
+    nfl = nl ** (dim - 1)
     sel_rows = [
         tensor.np_face_slice_indices(f, dim, nl) for f in range(nfaces)
-    ]  # each [nfl]
-    sel_cat = np.concatenate(sel_rows)  # [nfaces*nfl] lane-take indices
-
+    ]
+    sels = []
+    for f in range(nfaces):
+        S = np.zeros((nfl, nv))
+        S[np.arange(nfl), sel_rows[f]] = 1.0
+        sels.append(S)
     dvol = []
     for l in range(dim):
         fs = [np.eye(nl)] * dim
         fs[l] = D
-        dvol.append(kron_dirs(fs))  # [nv, nv] D̂_l
-    dn_cols = []
-    dn_dirs = []  # (f, l) order of columns
-    for f in range(nfaces):
-        ls = [f // 2] if orth else list(range(dim))
-        for l in ls:
-            dn_cols.append(dvol[l][sel_rows[f]].T)  # [nv, nfl]
-            dn_dirs.append((f, l))
-    W_dn = np.concatenate(dn_cols, axis=1)
-
-    # face mass: kron of M̃ over the dim-1 tangent axes (all identical)
+        dvol.append(kron_dirs(fs))
     Mf = Mt
     for _ in range(dim - 2):
         Mf = np.kron(Mf, Mt)
+    if dim == 2:
+        Mf = Mt.copy()
+    return dict(
+        Mt=Mt, Kt=Kt, Bt=Bt, D=D, kron_dirs=kron_dirs, sels=sels,
+        sel_rows=sel_rows, dvol=dvol, Mf=Mf, nv=nv, nfl=nfl, nfaces=nfaces,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _host_mats_general(deg: int, deg_quad: int, quad_key, dim: int,
+                       orth: bool):
+    """Fixed f64 numpy matrices for the general-affine GEMM apply."""
+    bm = _base_mats(deg, deg_quad, quad_key, dim)
+    Mt, Kt, Bt = bm["Mt"], bm["Kt"], bm["Bt"]
+    kron_dirs = bm["kron_dirs"]
+    nfaces = bm["nfaces"]
+
+    if orth:
+        pairs = [(l, l) for l in range(dim)]
+    else:
+        pairs = [(l, l) for l in range(dim)] + [
+            (l, lp) for l in range(dim) for lp in range(l + 1, dim)
+        ]
+    blocks = []
+    for l, lp in pairs:
+        if l == lp:
+            blocks.append(
+                kron_dirs([Kt if a == l else Mt for a in range(dim)])
+            )
+        else:
+            # T_{lp,l} + T_{l,lp} (symmetric; coefficient wjgg_c[l,lp])
+            f1 = [Mt] * dim
+            f1[l] = Bt
+            f1[lp] = Bt.T
+            f2 = [Mt] * dim
+            f2[l] = Bt.T
+            f2[lp] = Bt
+            blocks.append(kron_dirs(f1) + kron_dirs(f2))
+    W_vol = np.concatenate(blocks, axis=1)
+
+    dn_cols = []
+    dn_dirs = []
+    for f in range(nfaces):
+        ls = [f // 2] if orth else list(range(dim))
+        for l in ls:
+            dn_cols.append(bm["dvol"][l][bm["sel_rows"][f]].T)
+            dn_dirs.append((f, l))
+    W_dn = np.concatenate(dn_cols, axis=1)
+    sel_cat = np.concatenate(bm["sel_rows"])
 
     return dict(
-        W_vol=W_vol,
-        nblk=len(pairs),
-        pairs=tuple(pairs),
-        W_dn=W_dn,
-        dn_dirs=tuple(dn_dirs),
-        sel_cat=sel_cat,
-        Mf=Mf,
-        D=D,
+        W_vol=W_vol, nblk=len(pairs), pairs=tuple(pairs), W_dn=W_dn,
+        dn_dirs=tuple(dn_dirs), sel_cat=sel_cat, Mf=bm["Mf"], D=bm["D"],
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _host_mats_orth(deg: int, deg_quad: int, quad_key, dim: int, iso: bool):
+    """Fixed matrices for the orthogonal fast path (wjgg diagonal, unit
+    normals along axes ⇒ only the normal drstn component survives)."""
+    bm = _base_mats(deg, deg_quad, quad_key, dim)
+    Mt, Kt = bm["Mt"], bm["Kt"]
+    kron_dirs = bm["kron_dirs"]
+    nfaces, nv, nfl = bm["nfaces"], bm["nv"], bm["nfl"]
+
+    diag_blocks = [
+        kron_dirs([Kt if a == l else Mt for a in range(dim)])
+        for l in range(dim)
+    ]
+    if iso:
+        W_vol = sum(diag_blocks)
+        nblk = 1
+    else:
+        W_vol = np.concatenate(diag_blocks, axis=1)
+        nblk = dim
+
+    # trace blocks, 2*nfl per face: [u_f | raw normal derivative]
+    tr_cols = []
+    for f in range(nfaces):
+        tr_cols.append(bm["sels"][f].T)  # u_f
+        tr_cols.append(bm["dvol"][f // 2][bm["sel_rows"][f]].T)  # ∂_n u |_f
+    W_tr = np.concatenate(tr_cols, axis=1)  # [nv, nfaces*2*nfl]
+
+    # fused mass+lift GEMM, input [t13_raw (nfaces*nfl) | s2n (nfaces*nfl)]
+    Mf = bm["Mf"]
+    rows = []
+    for f in range(nfaces):
+        rows.append(Mf @ bm["sels"][f])  # lift of M̃_f t13
+    for f in range(nfaces):
+        rows.append(bm["sels"][f] @ bm["dvol"][f // 2])  # D̂_nᵀ lift of s2n
+    W_lift = np.concatenate(rows, axis=0)  # [2*nfaces*nfl, nv]
+
+    return dict(W_vol=W_vol, nblk=nblk, W_tr=W_tr, W_lift=W_lift,
+                Mf=Mf, nv=nv, nfl=nfl)
 
 
 def fast_path_available(mesh: MeshData, neighbors: str, robin) -> bool:
@@ -138,6 +188,99 @@ def fast_path_available(mesh: MeshData, neighbors: str, robin) -> bool:
 
 def apply_sipg_fast(mesh: MeshData, u, g=None):
     """GEMM-form SIPG apply; requires `fast_path_available`."""
+    if mesh.orth and not mesh.orient_codes:
+        return _apply_orth(mesh, u, g)
+    return _apply_general(mesh, u, g)
+
+
+def apply_staged(mesh: MeshData, u, upto: str = "full"):
+    """Prefix of the orth fast apply for per-stage benchmarking
+    (bench.py's published breakdown).  upto ∈ {volume, trace+gather,
+    full}."""
+    return _apply_orth(mesh, u, None, _upto=upto)
+
+
+def _apply_orth(mesh: MeshData, u, g=None, _upto: str = "full"):
+    """Orthogonal (axis-aligned) fast path: 1-3 volume blocks, traces
+    gathered straight from the trace GEMM output, one fused lift GEMM."""
+    dim, deg = mesh.dim, mesh.deg
+    nl = deg + 1
+    nfl = nl ** (dim - 1)
+    nfaces = 2 * dim
+    E = u.shape[0]
+    dtype = u.dtype
+
+    hm = _host_mats_orth(deg, mesh.deg_quad, mesh.quad.kind, dim, mesh.iso)
+    nv = hm["nv"]
+    nblk = hm["nblk"]
+    W_A = jnp.asarray(
+        np.concatenate([hm["W_vol"], hm["W_tr"]], axis=1), dtype
+    )
+    W_lift = jnp.asarray(hm["W_lift"], dtype)
+    Mf = jnp.asarray(hm["Mf"], dtype)
+
+    u2 = u.reshape(E, nv)
+    Y = u2 @ W_A
+
+    cw = mesh.wjgg_c.astype(dtype)
+    if nblk == 1:
+        Au = cw[:, 0, 0][:, None] * Y[:, :nv]
+    else:
+        Au = cw[:, 0, 0][:, None] * Y[:, :nv]
+        for b in range(1, nblk):
+            Au = Au + cw[:, b, b][:, None] * Y[:, b * nv : (b + 1) * nv]
+    if _upto == "volume":
+        return Au.reshape(u.shape)
+
+    # normal components of (drdx·n): one scalar per directed face
+    drstn = jnp.einsum(
+        "eld,efd->efl",
+        mesh.drdx_c.astype(dtype),
+        mesh.face_n_c.astype(dtype),
+    )  # [E, 2d, dim]
+    f_idx = jnp.arange(nfaces)
+    drstn_n = drstn[:, f_idx, f_idx // 2]  # [E, 2d] = drstn[e, f, dir(f)]
+
+    # ---- traces: scale the dn lanes, then one packed row gather ----------
+    # (scaling BEFORE the gather means the gathered rows already hold the
+    # neighbor's own-normal derivative — no second gather of drstn.)
+    lane = jnp.arange(2 * nfl) < nfl  # [128] u_f lanes vs dn lanes
+    tr = Y[:, nblk * nv :].reshape(E, nfaces, 2 * nfl)
+    tr = tr * jnp.where(
+        lane, jnp.ones((), dtype), drstn_n[..., None].astype(dtype)
+    )
+    rows = (mesh.nbr_elem * nfaces + mesh.nbr_face).reshape(-1)
+    gath = tr.reshape(E * nfaces, 2 * nfl)[rows].reshape(E, nfaces, 2 * nfl)
+    if _upto == "trace+gather":
+        return (Au + 1e-30 * jnp.sum(gath)).reshape(u.shape)
+    u_f, dn_m = tr[..., :nfl], tr[..., nfl:]
+    u_p, dn_p = gath[..., :nfl], gath[..., nfl:]
+
+    # ---- boundary overrides ---------------------------------------------
+    bnd = mesh.bnd_mask[..., None]
+    if g is None:
+        u_p = jnp.where(bnd, 0.0, u_p)
+    else:
+        u_p = jnp.where(bnd, g.astype(dtype).reshape(E, nfaces, nfl), u_p)
+    dn_p = jnp.where(bnd, -dn_m, dn_p)
+    c2 = jnp.where(bnd, 2.0, 1.0).astype(dtype)
+
+    sj = mesh.face_sj_c.astype(dtype)[..., None]
+    sig = mesh.sigma.astype(dtype)[..., None]
+    jump = u_f - u_p
+    t13 = -0.5 * sj * (dn_m - dn_p) + sj * sig * jump
+    mj = (jump.reshape(-1, nfl) @ Mf).reshape(E, nfaces, nfl)
+    s2n = (-0.5) * c2 * sj * mj * drstn_n[..., None]
+
+    Z = jnp.concatenate(
+        [t13.reshape(E, nfaces * nfl), s2n.reshape(E, nfaces * nfl)], axis=1
+    )
+    Au = Au + Z @ W_lift
+    return Au.reshape(u.shape)
+
+
+def _apply_general(mesh: MeshData, u, g=None):
+    """General affine path (shear allowed, cross-tree orientations)."""
     dim, deg = mesh.dim, mesh.deg
     nl = deg + 1
     nfl = nl ** (dim - 1)
@@ -146,7 +289,9 @@ def apply_sipg_fast(mesh: MeshData, u, g=None):
     dtype = u.dtype
     fshape_l = (nl,) * (dim - 1)
 
-    hm = _host_mats(deg, mesh.deg_quad, mesh.quad.kind, dim, mesh.orth)
+    hm = _host_mats_general(
+        deg, mesh.deg_quad, mesh.quad.kind, dim, mesh.orth
+    )
     W_vol = jnp.asarray(hm["W_vol"], dtype)
     W_dn = jnp.asarray(hm["W_dn"], dtype)
     Mf = jnp.asarray(hm["Mf"], dtype)

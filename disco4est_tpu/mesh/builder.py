@@ -146,6 +146,9 @@ class MeshData:
     # static meta: True when the geometry is axis-aligned (wjgg diagonal);
     # selects the 3-block volume GEMM in laplacian/fast.py.
     orth: bool = False
+    # static meta: True when additionally every cell is a cube (all wjgg
+    # diagonal entries equal): the volume collapses to ONE shared block.
+    iso: bool = False
 
     @property
     def forest(self) -> Forest:
@@ -246,7 +249,8 @@ def _l2_norm_sqr(mesh: "MeshData", u):
 
 
 _MESH_META = [
-    "dim", "deg", "deg_quad", "quad", "aux", "affine", "orient_codes", "orth"
+    "dim", "deg", "deg_quad", "quad", "aux", "affine", "orient_codes",
+    "orth", "iso",
 ]
 jax.tree_util.register_dataclass(
     MeshData,
@@ -471,6 +475,7 @@ def build_mesh(
         aux=MeshAux(geom=geom, forest=forest, ft=ft),
         affine=affine,
         orth=affine and bool(getattr(geom, "is_orthogonal", False)),
+        iso=affine and bool(getattr(geom, "is_isotropic", False)),
         orient_codes=orient_codes,
         deg_e=jnp.asarray(deg_e, jnp.int32),
         nbr_elem=nbr_elem,

@@ -102,6 +102,36 @@ int main(int argc, char *argv[]) {
         d4est_quad, d4est_factors, &prob_vecs, flux_rhs, prob_vecs.rhs,
         poisson_sinx_rhs_fcn, INIT_FIELD_ON_LOBATTO, &ctx, 0);
 
+
+    /* --- diagnostic probes (ordering-independent scalars) -------------- */
+    {
+      double *probe = P4EST_ALLOC(double, prob_vecs.local_nodes);
+      d4est_mesh_init_field(p4est, probe, poisson_sinx_analytic_solution,
+                            d4est_ops, d4est_geom, d4est_factors,
+                            INIT_FIELD_ON_LOBATTO, NULL);
+      double rhs2 = 0.0, rdotp = 0.0;
+      for (int i = 0; i < prob_vecs.local_nodes; i++) {
+        rhs2 += prob_vecs.rhs[i] * prob_vecs.rhs[i];
+        rdotp += prob_vecs.rhs[i] * probe[i];
+      }
+      double *save_u = prob_vecs.u;
+      double *Au_save = prob_vecs.Au;
+      prob_vecs.u = probe;
+      prob_vecs.Au = P4EST_ALLOC(double, prob_vecs.local_nodes);
+      d4est_elliptic_eqns_apply_lhs(p4est, d4est_ghost, d4est_ghost_data,
+                                    &prob_fcns, &prob_vecs, d4est_ops,
+                                    d4est_geom, d4est_quad, d4est_factors);
+      double Au2 = 0.0, uAu = 0.0;
+      for (int i = 0; i < prob_vecs.local_nodes; i++) {
+        Au2 += prob_vecs.Au[i] * prob_vecs.Au[i];
+        uAu += probe[i] * prob_vecs.Au[i];
+      }
+      printf("PROBE: rhs2 %.16e rdotp %.16e Au2 %.16e uAu %.16e\n",
+             rhs2, rdotp, Au2, uAu);
+      P4EST_FREE(prob_vecs.Au);
+      prob_vecs.u = save_u;
+      prob_vecs.Au = Au_save;
+    }
     d4est_solver_cg_params_t cg_params;
     d4est_solver_cg_input(p4est, (char *)input_file, "d4est_solver_cg",
                           "[D4EST_SOLVER_CG]", &cg_params);
@@ -116,6 +146,45 @@ int main(int argc, char *argv[]) {
     double *error = P4EST_ALLOC(double, prob_vecs.local_nodes);
     d4est_linalg_vec_fabsdiff(prob_vecs.u, u_analytic, error,
                               prob_vecs.local_nodes);
+    double u2s=0.0, e2s=0.0, el2=0.0;
+    for (int i = 0; i < prob_vecs.local_nodes; i++) {
+      u2s += prob_vecs.u[i]*prob_vecs.u[i];
+      e2s += error[i]*error[i];
+    }
+    el2 = d4est_mesh_compute_l2_norm_sqr(p4est, d4est_ops, d4est_geom,
+            d4est_quad, d4est_factors, error, prob_vecs.local_nodes, NULL, NULL);
+    printf("SOLPROBE: u2s %.16e e2s %.16e el2 %.16e\n", u2s, e2s, el2);
+    {
+      double *ones = P4EST_ALLOC(double, prob_vecs.local_nodes);
+      double *Mones = P4EST_ALLOC(double, prob_vecs.local_nodes);
+      for (int i=0;i<prob_vecs.local_nodes;i++) ones[i]=1.0;
+      double vol = d4est_mesh_compute_l2_norm_sqr(p4est, d4est_ops, d4est_geom,
+              d4est_quad, d4est_factors, ones, prob_vecs.local_nodes, NULL, NULL);
+      printf("MASSPROBE: ones_M_ones %.16e (should be 1)\n", vol);
+      /* per-node dump of error and M*error for element 0 */
+      d4est_quadrature_volume_t mo; 
+      p4est_tree_t* tree = p4est_tree_array_index(p4est->trees, p4est->first_local_tree);
+      p4est_quadrant_t* quad0 = p4est_quadrant_array_index(&tree->quadrants, 0);
+      d4est_element_data_t* ed0 = quad0->p.user_data;
+      printf("ELEM0: deg %d deg_quad %d\n", ed0->deg, ed0->deg_quad);
+      printf("ERR0:"); for (int i=0;i<8;i++) printf(" %.16e", error[i]); printf("\n");
+      P4EST_FREE(ones); P4EST_FREE(Mones);
+    }
+    {
+      double *l2arr = P4EST_ALLOC(double, p4est->local_num_quadrants);
+      d4est_mesh_compute_l2_norm_sqr(p4est, d4est_ops, d4est_geom,
+              d4est_quad, d4est_factors, error, prob_vecs.local_nodes, NULL, l2arr);
+      printf("L2ARR0: %.16e %.16e %.16e\n", l2arr[0], l2arr[1], l2arr[2]);
+      P4EST_FREE(l2arr);
+    }
+    {
+      FILE *fp = fopen("ref_error.txt","w");
+      for (int i=0;i<prob_vecs.local_nodes;i++) fprintf(fp, "%.17e\n", error[i]);
+      fclose(fp);
+      fp = fopen("ref_u.txt","w");
+      for (int i=0;i<prob_vecs.local_nodes;i++) fprintf(fp, "%.17e\n", prob_vecs.u[i]);
+      fclose(fp);
+    }
     double L2 =
         d4est_norms_fcn_L2(p4est, error, prob_vecs.local_nodes, &L2_ctx, NULL);
     double Linf = d4est_norms_fcn_Linfty(p4est, error, prob_vecs.local_nodes,
