@@ -1,0 +1,344 @@
+"""Structured (lexicographic) SIPG apply for uniform brick meshes.
+
+The generic fast path exchanges traces with a random row gather
+(`tr[neighbor_rows]`); measured on v5e that gather alone costs ~81 us at
+deg 7 / E=4096 — 4x the streaming cost of the bytes it moves — because
+XLA issues one 256-byte random DMA per directed face.  On a UNIFORM
+brick the neighbor relation is translation-invariant: re-ordering the
+elements lexicographically (x fastest) makes every face's neighbor a
+CONSTANT offset {±1, ±nx, ±nx·ny}, so the exchange becomes six row
+*shifts* — pure streaming, zero random access.  A Pallas kernel then
+reads the trace array as three consecutive element blocks (i−1, i, i+1;
+every neighbor offset is within ±one block when BE ≥ nx·ny) and fuses
+volume GEMM + face terms + lift GEMM in VMEM.
+
+The permutation is applied ONCE PER SOLVE, not per apply: Krylov
+iterations are permutation-invariant (dots and axpys commute with any
+permutation), so `cg_solve` runs entirely in lex order — permute the
+rhs in, permute the solution out (`to_lex`/`from_lex`).
+
+This mirrors how the reference gets its speed on the same case: p4est's
+`p4est_iterate` face loop visits uniform bricks in cache-friendly SFC
+order (`Mesh/d4est_mortars.c:601-806`); on TPU the analogous statement
+is "make the halo reads affine".  Any adapted (non-uniform) mesh falls
+back to the gather-based kernels automatically.
+
+Wrap-around correctness: an element on the +x domain face has lex
+neighbor index e+1 = the first element of the next y-row — not a real
+neighbor — but on a uniform brick every wrapping face IS a physical
+boundary face, and the kernel overrides boundary faces (u_p→g, dn_p→
+−dn_m) before the garbage value is used.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from disco4est_tpu.laplacian import pallas_sipg as PS
+from disco4est_tpu.mesh.builder import MeshData
+
+
+@dataclasses.dataclass
+class StructuredBrick:
+    """Per-epoch compiled view of a uniform brick mesh in lex order."""
+
+    # static
+    dim: int
+    deg: int
+    deg_quad: int
+    quad_key: object
+    iso: bool
+    nblk: int
+    BE: int
+    deltas: tuple  # per face: lex neighbor offset
+    opp: tuple  # per face: the neighbor's face index
+    # data (all in LEX element order)
+    perm: jnp.ndarray  # [E] lex -> original index
+    inv_perm: jnp.ndarray  # [E] original -> lex index
+    cw_in: jnp.ndarray  # [E, nblk]
+    scal: jnp.ndarray  # [E, 2d*4]: (drstn_n, sj, sigma, bnd) per face
+    drstn: jnp.ndarray  # [E, 2d]
+
+    @property
+    def n_elements(self):
+        return self.perm.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    StructuredBrick,
+    data_fields=["perm", "inv_perm", "cw_in", "scal", "drstn"],
+    meta_fields=[
+        "dim", "deg", "deg_quad", "quad_key", "iso", "nblk", "BE",
+        "deltas", "opp",
+    ],
+)
+
+
+def build_structured(mesh: MeshData, max_be: int = 512):
+    """Build the lex view, or None when the mesh isn't a uniform
+    orthogonal brick (adapted meshes use the gather path)."""
+    if not (mesh.affine and mesh.orth and not mesh.orient_codes):
+        return None
+    if mesh.hc_elem.shape[0] != 0:
+        return None
+    forest = mesh.forest
+    lv = np.asarray(forest.level)
+    if lv.size == 0 or not np.all(lv == lv[0]):
+        return None
+    dim = mesh.dim
+    nfaces = 2 * dim
+
+    # global integer lattice coords (tree origin + in-tree anchor)
+    geom = mesh.geom
+    origin = getattr(geom, "tree_origin", None)
+    if origin is None:
+        return None
+    ROOT = 1 << 30  # mesh.tree ROOT length (p4est convention)
+    from disco4est_tpu.mesh.tree import ROOT as TROOT
+
+    ROOT = TROOT
+    h = ROOT >> int(lv[0])
+    coords = (
+        np.asarray(origin)[np.asarray(forest.tree)] * ROOT
+        + np.asarray(forest.anchor)
+    ) // h
+    coords = coords.astype(np.int64)
+    dims = [int(coords[:, d].max()) + 1 for d in range(dim)]
+    E = coords.shape[0]
+    if int(np.prod(dims)) != E:
+        return None
+    strides = [int(np.prod(dims[:d])) for d in range(dim)]
+    key = sum(coords[:, d] * strides[d] for d in range(dim))
+    perm = np.argsort(key, kind="stable")  # lex -> original
+    inv = np.empty(E, np.int64)
+    inv[perm] = np.arange(E)
+
+    # verify constant neighbor offsets & derive per-face (delta, opp)
+    nbr_e = np.asarray(mesh.nbr_elem)
+    nbr_f = np.asarray(mesh.nbr_face)
+    bnd = np.asarray(mesh.bnd_mask)
+    deltas, opps = [], []
+    for f in range(nfaces):
+        interior = ~bnd[perm, f]
+        if not interior.any():
+            deltas.append(0)
+            opps.append(f ^ 1)
+            continue
+        nb_lex = inv[nbr_e[perm, f]]
+        d = nb_lex[interior] - np.arange(E)[interior]
+        of = nbr_f[perm, f][interior]
+        if not (np.all(d == d[0]) and np.all(of == of[0])):
+            return None
+        deltas.append(int(d[0]))
+        opps.append(int(of[0]))
+
+    maxd = max(abs(d) for d in deltas)
+    BE = None
+    # smallest valid block >= the z-stride: minimizes the 3-block VMEM
+    # window while keeping every neighbor within +-1 block
+    for be in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512):
+        if E % be == 0 and be >= maxd and be <= max_be:
+            BE = be
+            break
+    if BE is None:
+        # smallest power of two >= maxd dividing E
+        be = 1
+        while be < maxd:
+            be *= 2
+        if be <= max_be and E % be == 0:
+            BE = be
+        else:
+            return None
+
+    dtype = jnp.float32
+    permj = jnp.asarray(perm, jnp.int32)
+    cw = mesh.wjgg_c.astype(dtype)
+    nblk = 1 if mesh.iso else dim
+    cw_in = jnp.stack([cw[:, b, b] for b in range(nblk)], axis=1)[permj]
+    drstn = PS._drstn_n(mesh, dtype)[permj]
+    scal = jnp.stack(
+        [
+            drstn,
+            mesh.face_sj_c.astype(dtype)[permj],
+            mesh.sigma.astype(dtype)[permj],
+            mesh.bnd_mask.astype(dtype)[permj],
+        ],
+        axis=-1,
+    ).reshape(E, nfaces * 4)
+
+    return StructuredBrick(
+        dim=dim, deg=mesh.deg, deg_quad=mesh.deg_quad,
+        quad_key=mesh.quad.kind, iso=mesh.iso, nblk=nblk, BE=BE,
+        deltas=tuple(deltas), opp=tuple(opps),
+        perm=permj, inv_perm=jnp.asarray(inv, jnp.int32),
+        cw_in=cw_in, scal=scal, drstn=drstn,
+    )
+
+
+def to_lex(sb: StructuredBrick, v):
+    return v[sb.perm]
+
+
+def from_lex(sb: StructuredBrick, v):
+    return v[sb.inv_perm]
+
+
+def _kernel_lex(u_ref, trm_ref, tr0_ref, trp_ref, cw_ref, scal_ref,
+                Wvol_ref, Wlift_ref, au_ref, *, nv, nfl, nfaces, nblk,
+                precision, deltas, opp, BE):
+    f32 = jnp.float32
+    if precision == "bf16":
+        u = u_ref[:].astype(jnp.bfloat16)
+        mm = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
+    else:
+        u = u_ref[:]
+        mm = lambda a, b: jnp.dot(
+            a, b, preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    Wvol, Wlift = Wvol_ref[:], Wlift_ref[:]
+
+    acc = mm(u, Wvol)
+    cw = cw_ref[:]
+    au = cw[:, 0][:, None] * acc[:, :nv]
+    for b in range(1, nblk):
+        au = au + cw[:, b][:, None] * acc[:, b * nv:(b + 1) * nv]
+
+    # trace window: three consecutive blocks, shifts are static slices
+    tcat = jnp.concatenate(
+        [trm_ref[:], tr0_ref[:], trp_ref[:]], axis=0
+    ).astype(f32)  # [3BE, nfaces*2*nfl]
+    scal = scal_ref[:]
+    zs = []
+    for f in range(nfaces):
+        drstn = scal[:, f * 4 + 0][:, None]
+        sj = scal[:, f * 4 + 1][:, None]
+        sig = scal[:, f * 4 + 2][:, None]
+        bnd = scal[:, f * 4 + 3][:, None]
+        base = f * 2 * nfl
+        u_f = tcat[BE:2 * BE, base:base + nfl]
+        dn_m = tcat[BE:2 * BE, base + nfl:base + 2 * nfl]
+        obase = opp[f] * 2 * nfl
+        lo = BE + deltas[f]
+        u_p = tcat[lo:lo + BE, obase:obase + nfl]
+        dn_p = tcat[lo:lo + BE, obase + nfl:obase + 2 * nfl]
+        u_p = jnp.where(bnd > 0, 0.0, u_p)
+        dn_p = jnp.where(bnd > 0, -dn_m, dn_p)
+        c2 = 1.0 + bnd
+        jump = u_f - u_p
+        t13 = -0.5 * sj * (dn_m - dn_p) + sj * sig * jump
+        s2n = -0.5 * c2 * sj * drstn * jump
+        zs.append(t13)
+        zs.append(s2n)
+    Z = jnp.concatenate(zs, axis=1)
+    if precision == "bf16":
+        Z = Z.astype(jnp.bfloat16)
+    au_ref[:] = au + mm(Z, Wlift)
+
+
+def compute_traces_lex(sb: StructuredBrick, u2, precision):
+    """Phase A in lex order: tr[e] = scaled face traces, bf16-stored in
+    bf16 mode (both sides then see identical rounded values — keeps the
+    discrete operator symmetric)."""
+    dim, deg = sb.dim, sb.deg
+    nfl = (deg + 1) ** (dim - 1)
+    nfaces = 2 * dim
+    E = u2.shape[0]
+    hm = PS._mats(deg, sb.deg_quad, sb.quad_key, dim, sb.iso)
+    W_tr = jnp.asarray(hm["W_tr"], jnp.float32)
+    tr = (u2 @ W_tr).reshape(E, nfaces, 2 * nfl)
+    lane = jnp.arange(2 * nfl) < nfl
+    tr = tr * jnp.where(
+        lane, jnp.ones((), jnp.float32), sb.drstn[..., None]
+    )
+    tr = tr.reshape(E, nfaces * 2 * nfl)
+    if precision == "bf16":
+        tr = tr.astype(jnp.bfloat16)
+    return tr
+
+
+def apply_structured(sb: StructuredBrick, u_lex, *,
+                     precision: str | None = None,
+                     interpret: bool | None = None):
+    """Au in lex order.  `u_lex`: [E, nl^dim] or [E, nl, ...]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dim, deg = sb.dim, sb.deg
+    nl = deg + 1
+    nfl = nl ** (dim - 1)
+    nfaces = 2 * dim
+    E = sb.n_elements
+    if precision is None:
+        precision = "bf16" if jax.default_backend() == "tpu" else "f32"
+    hm = PS._mats(deg, sb.deg_quad, sb.quad_key, dim, sb.iso)
+    nv, nblk = hm["nv"], sb.nblk
+    in_shape = u_lex.shape
+    u2 = u_lex.reshape(E, nv).astype(jnp.float32)
+
+    tr = compute_traces_lex(sb, u2, precision)
+    wdtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    W_vol = jnp.asarray(hm["W_vol"], wdtype)
+    W_lift = jnp.asarray(hm["W_lift"], wdtype)
+
+    BE = sb.BE
+    nblocks = E // BE
+    tw = nfaces * 2 * nfl
+
+    kern = functools.partial(
+        _kernel_lex, nv=nv, nfl=nfl, nfaces=nfaces, nblk=nblk,
+        precision=precision, deltas=sb.deltas, opp=sb.opp, BE=BE,
+    )
+    row = lambda i: (i, np.int32(0))
+    rowm = lambda i: (jnp.maximum(i - 1, np.int32(0)), np.int32(0))
+    rowp = lambda i: (jnp.minimum(i + 1, np.int32(nblocks - 1)),
+                      np.int32(0))
+    const = lambda i: (np.int32(0), np.int32(0))
+    out = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((BE, nv), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, tw), rowm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, tw), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, tw), rowp, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, nblk), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BE, nfaces * 4), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv, nblk * nv), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tw, nv), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BE, nv), row, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, nv), jnp.float32),
+        interpret=interpret,
+    )(u2, tr, tr, tr, sb.cw_in, sb.scal, W_vol, W_lift)
+    return out.reshape(in_shape).astype(u_lex.dtype)
+
+
+def make_inner_solve(sb: StructuredBrick, *, rtol: float = 1e-3,
+                     max_iter: int = 400, precision: str | None = None):
+    """Inner-solve closure for `solvers.mixed.mixed_refine_solve`: CG in
+    f32 on the structured apply, in lex order.  The permutation is paid
+    once per OUTER refinement step, not per Krylov iteration.
+
+    Default rtol 1e-3: in bf16-multiply mode (TPU) the apply carries
+    ~2^-9 relative noise, so the inner CG stalls near 1e-3 — each outer
+    f64 correction step then contracts the error by ~1e-3, reaching
+    1e-14 in ~5 outer steps."""
+    from disco4est_tpu.solvers.cg import cg_solve
+
+    def inner(r32):
+        shape = r32.shape
+        b_lex = to_lex(sb, r32.reshape(sb.n_elements, -1))
+        res = cg_solve(
+            lambda v: apply_structured(sb, v, precision=precision),
+            b_lex, atol=0.0, rtol=rtol, max_iter=max_iter,
+        )
+        return from_lex(sb, res.x).reshape(shape), res.iterations
+
+    return inner
