@@ -183,6 +183,7 @@ def fast_path_available(mesh: MeshData, neighbors: str, robin) -> bool:
         and mesh.hc_elem.shape[0] == 0
         and neighbors == "full"
         and robin is None
+        and mesh.sigma_q is None  # fast paths assume per-face scalar sigma
     )
 
 

@@ -291,7 +291,12 @@ def apply_sipg(
     # n⁺ = -n⁻ at matched points, so n⁻·∇u⁺ = -dn_p
     term1 = -0.5 * sj * (dn_m - dn_p)
     term2 = -0.5 * c2[:, :, None] * drst_n * (sj * jump)[:, :, None]
-    term3 = sj * sigma.reshape(bshape) * jump
+    if mesh.sigma_q is not None:
+        # pointwise penalty (FACE_H_EQ_J_DIV_SJ_QUAD): sigma varies over
+        # the face quadrature points on curved geometries
+        term3 = sj * mesh.sigma_q.astype(dtype) * jump
+    else:
+        term3 = sj * sigma.reshape(bshape) * jump
 
     if robin_coeff is not None:
         rr = (

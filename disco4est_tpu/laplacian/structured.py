@@ -86,7 +86,7 @@ def build_structured(mesh: MeshData, max_be: int = 512):
     orthogonal brick (adapted meshes use the gather path)."""
     if not (mesh.affine and mesh.orth and not mesh.orient_codes):
         return None
-    if mesh.hc_elem.shape[0] != 0:
+    if mesh.hc_elem.shape[0] != 0 or mesh.sigma_q is not None:
         return None
     forest = mesh.forest
     lv = np.asarray(forest.level)

@@ -100,6 +100,12 @@ class MeshData:
     volume: jnp.ndarray  # [E]
     area: jnp.ndarray  # [E, 2d]
     sigma: jnp.ndarray  # [E, 2d] SIPG penalty per face
+    # Pointwise penalty [E, 2d, nfq...] for FACE_H_EQ_J_DIV_SJ_QUAD
+    # (`d4est_mesh.c:650-661`: h = J/sj at each mortar quadrature point,
+    # penalty evaluated per point `..._with_opt_flux_sipg.c:622-636`).
+    # None under the default scalar volume/area h.  Curved geometries
+    # (cubed sphere) need this for reference digit parity.
+    sigma_q: jnp.ndarray
 
     # --- neighbor gather tables (jnp int32/bool) ---
     nbr_elem: jnp.ndarray  # [E, 2d]
@@ -273,6 +279,7 @@ def build_mesh(
     penalty_fcn: str = "maxp_sqr_over_minh",
     deg_e: np.ndarray | None = None,
     store_full: bool = True,
+    face_h_type: str = "volume_div_area",
 ) -> MeshData:
     """`deg_e` (optional [E] int): true per-element degrees for hp meshes.
     Storage stays at `deg` (must be >= max(deg_e)); penalties use the true
@@ -467,7 +474,45 @@ def build_mesh(
         sorted(int(c) for c in np.unique(conf_codes) if c != 0)
     )
 
+    # --- pointwise penalty for FACE_H_EQ_J_DIV_SJ_QUAD -------------------
+    # h(x) = J/sj at each face quadrature point; the neighbor's h is
+    # gathered and point-aligned with perm_q so min(h_m, h_p) is evaluated
+    # at MATCHED physical points (symmetric operator).  Reference:
+    # `d4est_mesh.c:650-661` + `d4est_laplacian_with_opt_flux_sipg.c:622-636`.
+    sigma_q = None
+    if face_h_type == "j_div_sj_quad":
+        if not store_full:
+            raise ValueError("j_div_sj_quad requires store_full=True")
+        if M > 0:
+            raise NotImplementedError(
+                "pointwise penalty on hanging meshes not implemented yet"
+            )
+        h_q = (np.asarray(fac["face_j"]) / np.asarray(fac["face_sj"])).reshape(
+            E, nfaces, -1
+        )
+        rows = np.asarray(nbr_elem) * nfaces + np.asarray(nbr_face)
+        h_p = np.take_along_axis(
+            h_q.reshape(E * nfaces, -1)[rows], np.asarray(perm_q), axis=-1
+        )
+        # boundary faces: penalty from h_m on both sides (reference
+        # dirichlet aux passes (deg_m, h_m, deg_m, h_m))
+        h_p = np.where((ft.kind == BOUNDARY)[:, :, None], h_q, h_p)
+        p_m = deg_e[:, None, None].astype(np.float64)
+        p_p = deg_e[np.asarray(nbr_elem)][:, :, None].astype(np.float64)
+        sigma_q = jnp.asarray(
+            np.asarray(
+                sigma_from_degrees(
+                    penalty_fcn, float(penalty_prefactor), p_m, p_p,
+                    h_q, h_p,
+                )
+            ).reshape((E, nfaces) + (nq,) * (dim - 1))
+        )
+    elif face_h_type != "volume_div_area":
+        raise ValueError(f"unknown face_h_type {face_h_type!r}")
+    fac.pop("face_j", None)
+
     return MeshData(
+        sigma_q=sigma_q,
         dim=dim,
         deg=deg,
         deg_quad=deg_quad,
@@ -548,11 +593,13 @@ def _compute_all_factors(
     # face arrays
     wf = tensor.tensor_weights([wq] * (dim - 1)) if dim > 1 else jnp.ones(())
     face_sj, face_n, face_drst, face_xyz_l, face_xyz_q, area = [], [], [], [], [], []
+    face_j = []
     for f in range(nfaces):
         pts_q = _face_points(xq, dim, f)
         pts_l = _face_points(xl, dim, f)
         ffac = _factors(geom, tree, anchor, hfrac, pts_q)
         sj, n = _surface_jacobian(ffac, f, dim)
+        face_j.append(ffac["J"])
         face_sj.append(sj)
         face_n.append(jnp.moveaxis(n, -1, 1))
         fd = jnp.moveaxis(jnp.moveaxis(ffac["drdx"], -1, 1), -1, 1)
@@ -565,6 +612,7 @@ def _compute_all_factors(
         )
         area.append(jnp.sum((wf * sj).reshape(E, -1), axis=1))
 
+    face_j = jnp.stack(face_j, axis=1)  # [E, 2d, nfq...] volume J at face
     face_sj = jnp.stack(face_sj, axis=1)  # [E, 2d, nfq...]
     face_n = jnp.stack(face_n, axis=1)  # [E, 2d, dim, nfq...]
     face_drst = jnp.stack(face_drst, axis=1)  # [E, 2d, dim, dim, nfq...]
@@ -597,6 +645,7 @@ def _compute_all_factors(
         volume=volume,
         area=area,
         sigma=sigma,
+        face_j=face_j,
     )
 
 

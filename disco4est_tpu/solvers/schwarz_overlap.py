@@ -333,6 +333,7 @@ def build_overlapping_schwarz(
         volume=g(mesh.volume),
         area=g(mesh.area),
         sigma=g(mesh.sigma),
+        sigma_q=None if mesh.sigma_q is None else g(mesh.sigma_q),
         nbr_elem=jnp.asarray(nbr_elem, jnp.int32),
         nbr_face=jnp.asarray(nbr_face, jnp.int32),
         perm_l=jnp.asarray(perm_l),
