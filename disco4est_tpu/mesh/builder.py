@@ -507,9 +507,35 @@ def build_mesh(
                 )
             ).reshape((E, nfaces) + (nq,) * (dim - 1))
         )
+    elif face_h_type == "j_div_sj_min_lobatto":
+        # scalar per face: h = min over face Lobatto points of J/sj
+        # (FACE_H_EQ_J_DIV_SJ_MIN_LOBATTO, `d4est_mesh.c:730-741`);
+        # penalty recomputed with it (overrides the vol/area sigma)
+        if not store_full:
+            raise ValueError("j_div_sj_min_lobatto requires store_full")
+        if M > 0:
+            raise NotImplementedError(
+                "j_div_sj_min_lobatto on hanging meshes not implemented"
+            )
+        h_m = np.asarray(fac["face_h_lob"])  # [E, 2d]
+        h_p = h_m[np.asarray(nbr_elem), np.asarray(nbr_face)]
+        h_p = np.where(ft.kind == BOUNDARY, h_m, h_p)
+        p_m = np.broadcast_to(
+            deg_e[:, None], h_m.shape
+        ).astype(np.float64)
+        p_p = deg_e[np.asarray(nbr_elem)].astype(np.float64)
+        fac["sigma"] = jnp.asarray(
+            np.asarray(
+                sigma_from_degrees(
+                    penalty_fcn, float(penalty_prefactor), p_m, p_p,
+                    h_m, h_p,
+                )
+            )
+        )
     elif face_h_type != "volume_div_area":
         raise ValueError(f"unknown face_h_type {face_h_type!r}")
     fac.pop("face_j", None)
+    fac.pop("face_h_lob", None)
 
     return MeshData(
         sigma_q=sigma_q,
@@ -594,12 +620,20 @@ def _compute_all_factors(
     wf = tensor.tensor_weights([wq] * (dim - 1)) if dim > 1 else jnp.ones(())
     face_sj, face_n, face_drst, face_xyz_l, face_xyz_q, area = [], [], [], [], [], []
     face_j = []
+    face_h_lob = []
     for f in range(nfaces):
         pts_q = _face_points(xq, dim, f)
         pts_l = _face_points(xl, dim, f)
         ffac = _factors(geom, tree, anchor, hfrac, pts_q)
         sj, n = _surface_jacobian(ffac, f, dim)
         face_j.append(ffac["J"])
+        # h = min over face LOBATTO points of J/sj
+        # (FACE_H_EQ_J_DIV_SJ_MIN_LOBATTO, `d4est_mesh.c:730-741`)
+        lfac = _factors(geom, tree, anchor, hfrac, pts_l)
+        lsj, _ = _surface_jacobian(lfac, f, dim)
+        face_h_lob.append(
+            jnp.min((lfac["J"] / lsj).reshape(E, -1), axis=1)
+        )
         face_sj.append(sj)
         face_n.append(jnp.moveaxis(n, -1, 1))
         fd = jnp.moveaxis(jnp.moveaxis(ffac["drdx"], -1, 1), -1, 1)
@@ -646,6 +680,7 @@ def _compute_all_factors(
         area=area,
         sigma=sigma,
         face_j=face_j,
+        face_h_lob=jnp.stack(face_h_lob, axis=1),
     )
 
 

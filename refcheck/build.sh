@@ -8,11 +8,12 @@ INST=$B/install
 OUT=$B/harness
 mkdir -p $OUT/obj3 $OUT/run
 STUBS=$HERE/stubs
-INC="-I$STUBS -I$REF/pXest -I$REF/Utilities -I$REF/LinearAlgebra -I$REF/Kron -I$REF/dGMath -I$REF/Quadrature -I$REF/Geometry -I$REF/Mesh -I$REF/EllipticSystem -I$REF/Estimators -I$REF/hpAMR -I$REF/Solver -I$REF/IO -I$REF/Databox -I$REF/Dictionary -I$INST/include"
+INC="-I$STUBS -I$REF/pXest -I$REF/Utilities -I$REF/LinearAlgebra -I$REF/Kron -I$REF/dGMath -I$REF/Quadrature -I$REF/Geometry -I$REF/Mesh -I$REF/EllipticSystem -I$REF/Estimators -I$REF/hpAMR -I$REF/Solver -I$REF/IO -I$REF/Databox -I$REF/Dictionary -I$REF/Problems -I$INST/include"
 SRCS=$(cat $HERE/core_sources.txt)
 fails=0
-OBJS="$OUT/obj3/stub_impls.o"
+OBJS="$OUT/obj3/stub_impls.o $OUT/obj3/petsc_solver_stubs.o"
 gcc -c -O2 -g $STUBS/stub_impls.c -o $OUT/obj3/stub_impls.o -I$STUBS
+gcc -c -O2 -g -DDIM=3 $INC $STUBS/petsc_solver_stubs.c -o $OUT/obj3/petsc_solver_stubs.o -Wno-implicit-function-declaration
 for f in $SRCS; do
   b=$(basename $f .c)
   o=$OUT/obj3/$b.o

@@ -60,3 +60,131 @@ def test_lorentzian_level0_digit():
     # reference harness full-precision value (refcheck, CG to stagnation):
     # 2706.0289984500159334857016802
     assert abs(L2 - 2706.02899845001593) / 2706.0 < 1e-12, L2
+
+
+def test_two_punctures_7tree_digit():
+    """`56.0000000000000000 0.00042501315` (d4est_test_twopunctures.sh:5).
+
+    The grep digits are [global_nodes, u(10,0,0)] from the regression
+    driver's point monitor (two_punctures_cactus_diff_geom_estimator_
+    global.c:845, DEBUG_PRINT_4ARR_DBL row for "point10").  Ground truth
+    regenerated with refcheck/two_punctures_probe.c (the ACTUAL problem
+    driver compiled against the PETSc-free core, dense-direct damped
+    Newton to residual 3e-16): u(10,0,0) = 0.0004250131568938.
+
+    Config (options_test.input): 7-tree cubed sphere R0=10 R1=1000
+    compactified inner shell, deg 1 (56 nodes), legendre quadrature,
+    FACE_H_EQ_J_DIV_SJ_MIN_LOBATTO penalty h, Robin BC coeff 1/r.
+    """
+    import numpy as np
+    from disco4est_tpu.geometry.cubed_sphere import CubedSphereGeometry
+    from disco4est_tpu.mesh.probe import interpolate_at_point
+    from disco4est_tpu.problems.two_punctures import (
+        TwoPuncturesParams,
+        residual,
+        jacobian_apply,
+    )
+    from disco4est_tpu.solvers.newton import NewtonParams, newton_solve
+
+    geom = CubedSphereGeometry(
+        "7tree", R0=10.0, R1=1000.0, compactify_inner_shell=True
+    )
+    forest = Forest.uniform(geom.conn, 0)
+    mesh = build_mesh(
+        geom, forest, deg=1, face_h_type="j_div_sj_min_lobatto",
+        penalty_prefactor=2.0, penalty_fcn="maxp_sqr_over_minh",
+    )
+    assert mesh.n_elements == 7
+    assert mesh.local_nodes == 56
+    params = TwoPuncturesParams()
+    rc = mesh.boundary_values_quad(params.robin_coeff)
+
+    n = mesh.local_nodes
+    shape = (mesh.n_elements,) + (2,) * 3
+
+    def jac_solve(u0, rhs, rtol):
+        # 56-dof system: dense direct solve (the early Jacobian is
+        # indefinite — unpreconditioned CG diverges, as it does for the
+        # reference's own in-house FCG on this config)
+        I = jnp.eye(n).reshape((n,) + shape)
+        cols = [
+            jacobian_apply(mesh, u0, I[i], params, rc).reshape(-1)
+            for i in range(n)
+        ]
+        A = jnp.stack(cols, axis=1)
+        return jnp.linalg.solve(A, rhs.reshape(-1)).reshape(shape)
+
+    u0 = mesh.init_field(params.initial_guess)
+    result = newton_solve(
+        residual=lambda u: residual(mesh, u, params, rc),
+        jacobian_solve=jac_solve,
+        u0=u0,
+        params=NewtonParams(atol=1e-14, max_iter=50, inner_rtol=1e-12),
+    )
+    assert result.residual_norm < 1e-13, result.history
+
+    val, elem = interpolate_at_point(mesh, result.u, (10.0, 0.0, 0.0))
+    # reference ground truth (refcheck): 0.0004250131568938
+    assert abs(val - 0.0004250131568938) < 1e-12, val
+
+
+def test_two_punctures_13tree_digit():
+    """`832.0000000000000000 0.000169047` (d4est_test_twopunctures_2.sh:5).
+
+    [global_nodes, u(100,0,0)] from the 13-tree regression driver's point
+    monitor.  Ground truth (refcheck/two_punctures_probe_13tree.c, dense
+    Newton to 1.3e-16): u(100,0,0) = 0.0001690472493169.
+
+    Config (options_13tree.input): 13-tree cubed sphere R0=10 R1=20
+    R2=1000 compactified OUTER shell, level 1 deg 1 (104 elems, 832
+    nodes), legendre quadrature, FACE_H_EQ_J_DIV_SJ_QUAD pointwise
+    penalty, Robin BC coeff 1/r.
+    """
+    from disco4est_tpu.geometry.cubed_sphere import CubedSphereGeometry
+    from disco4est_tpu.mesh.probe import interpolate_at_point
+    from disco4est_tpu.problems.two_punctures import (
+        TwoPuncturesParams,
+        residual,
+        jacobian_apply,
+    )
+    from disco4est_tpu.solvers.newton import NewtonParams, newton_solve
+
+    geom = CubedSphereGeometry(
+        "13tree", R0=10.0, R1=20.0, R2=1000.0,
+        compactify_outer_shell=True,
+    )
+    forest = Forest.uniform(geom.conn, 1)
+    mesh = build_mesh(
+        geom, forest, deg=1, face_h_type="j_div_sj_quad",
+        penalty_prefactor=2.0, penalty_fcn="maxp_sqr_over_minh",
+    )
+    assert mesh.n_elements == 104
+    assert mesh.local_nodes == 832
+    params = TwoPuncturesParams()
+    rc = mesh.boundary_values_quad(params.robin_coeff)
+
+    n = mesh.local_nodes
+    shape = (mesh.n_elements,) + (2,) * 3
+    I = jnp.eye(n).reshape((n,) + shape)
+    jac_cols = jax.jit(
+        jax.vmap(
+            lambda u0, v: jacobian_apply(mesh, u0, v, params, rc).reshape(-1),
+            in_axes=(None, 0),
+        )
+    )
+
+    def jac_solve(u0, rhs, rtol):
+        A = jac_cols(u0, I).T
+        return jnp.linalg.solve(A, rhs.reshape(-1)).reshape(shape)
+
+    u0 = mesh.init_field(params.initial_guess)
+    result = newton_solve(
+        residual=lambda u: residual(mesh, u, params, rc),
+        jacobian_solve=jac_solve,
+        u0=u0,
+        params=NewtonParams(atol=1e-14, max_iter=50, inner_rtol=1e-12),
+    )
+    assert result.residual_norm < 1e-13, result.history
+
+    val, elem = interpolate_at_point(mesh, result.u, (100.0, 0.0, 0.0))
+    assert abs(val - 0.0001690472493169) < 1e-12, val
