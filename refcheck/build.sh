@@ -6,27 +6,35 @@ REF=/root/reference/src
 B=$HERE/../refbuild
 INST=$B/install
 OUT=$B/harness
-mkdir -p $OUT/obj3 $OUT/run
+DEFS="-DDIM=3"
+OBJDIR=obj3
+LIBNAME=libd8est_core.a
+if [ "${TESTMODE:-0}" = "1" ]; then
+  DEFS="-DDIM=3 -DD4EST_TEST"
+  OBJDIR=obj3t
+  LIBNAME=libd8est_core_t.a
+fi
+mkdir -p $OUT/$OBJDIR $OUT/run
 STUBS=$HERE/stubs
 INC="-I$STUBS -I$REF/pXest -I$REF/Utilities -I$REF/LinearAlgebra -I$REF/Kron -I$REF/dGMath -I$REF/Quadrature -I$REF/Geometry -I$REF/Mesh -I$REF/EllipticSystem -I$REF/Estimators -I$REF/hpAMR -I$REF/Solver -I$REF/IO -I$REF/Databox -I$REF/Dictionary -I$REF/Problems -I$INST/include"
 SRCS=$(cat $HERE/core_sources.txt)
 fails=0
-OBJS="$OUT/obj3/stub_impls.o $OUT/obj3/petsc_solver_stubs.o"
-gcc -c -O2 -g $STUBS/stub_impls.c -o $OUT/obj3/stub_impls.o -I$STUBS
-gcc -c -O2 -g -DDIM=3 $INC $STUBS/petsc_solver_stubs.c -o $OUT/obj3/petsc_solver_stubs.o -Wno-implicit-function-declaration
+OBJS="$OUT/$OBJDIR/stub_impls.o $OUT/$OBJDIR/petsc_solver_stubs.o"
+gcc -c -O2 -g $STUBS/stub_impls.c -o $OUT/$OBJDIR/stub_impls.o -I$STUBS
+gcc -c -O2 -g $DEFS $INC $STUBS/petsc_solver_stubs.c -o $OUT/$OBJDIR/petsc_solver_stubs.o -Wno-implicit-function-declaration
 for f in $SRCS; do
   b=$(basename $f .c)
-  o=$OUT/obj3/$b.o
+  o=$OUT/$OBJDIR/$b.o
   if [ ! -f $o ] || [ $REF/$f -nt $o ]; then
-    gcc -c -O2 -g -DDIM=3 $INC -Wno-implicit-function-declaration $REF/$f -o $o 2> $OUT/obj3/$b.err
+    gcc -c -O2 -g $DEFS $INC -Wno-implicit-function-declaration $REF/$f -o $o 2> $OUT/$OBJDIR/$b.err
     if [ $? -ne 0 ]; then echo "FAIL: $b"; fails=$((fails+1)); continue
-    else rm -f $OUT/obj3/$b.err; fi
+    else rm -f $OUT/$OBJDIR/$b.err; fi
   fi
   OBJS="$OBJS $o"
 done
-ar rcs $OUT/libd8est_core.a $OBJS
+ar rcs $OUT/$LIBNAME $OBJS
 echo "core: fails=$fails objs=$(echo $OBJS | wc -w)"
-LIBS="$OUT/libd8est_core.a -L$INST/lib -lp4est -lsc -lzlog -l:liblapack.so.3 -l:libblas.so.3 -lz -lm -lpthread"
+LIBS="$OUT/$LIBNAME -L$INST/lib -lp4est -lsc -lzlog -l:liblapack.so.3 -l:libblas.so.3 -lz -lm -lpthread"
 for h in "$@"; do
   name=$(basename $h .c)
   extra_inc=""
@@ -37,6 +45,6 @@ for h in "$@"; do
     *punctur*) extra_inc="-I$REF/Problems/TwoPunctures";;
     *schwarz*) extra_inc="-I$REF/Tests/Unit";;
   esac
-  gcc -O2 -g -DDIM=3 $INC $extra_inc -Wno-implicit-function-declaration $HERE/$h $LIBS -o $OUT/$name && echo "built $name"
+  gcc -O2 -g $DEFS $INC $extra_inc -Wno-implicit-function-declaration $HERE/$h $LIBS -o $OUT/$name && echo "built $name"
 done
 cp -n /root/reference/src/IO/logging.conf $OUT/run/ 2>/dev/null || true

@@ -11,7 +11,9 @@
 #include <d4est_solver_fcg_improved.h>
 #include <d4est_solver_newton_petsc.h>
 #include <d4est_solver_krylov_petsc.h>
-#include <string.h>\n#include <math.h>\n#include <stdlib.h>
+#include <string.h>
+#include <math.h>
+#include <stdlib.h>
 #include <stdio.h>
 
 const char *g_refcheck_input_file = "options.input";
@@ -220,4 +222,15 @@ d4est_solver_multigrid_smoother_krylov_petsc_init(p4est_t *p4est,
 void d4est_solver_multigrid_smoother_krylov_petsc_destroy(
     d4est_solver_multigrid_smoother_t *solver) {
   (void)solver;
+}
+
+/* extended p4est vtk writer (corner output) — not digit-relevant */
+void p4est_vtk_ext_write_all(p4est_t *p4est, void *geom, double scale,
+                             int write_tree, int write_level,
+                             int write_rank, int wrap_rank,
+                             int num_scalars, int num_vectors,
+                             const char *filename, ...) {
+  (void)p4est; (void)geom; (void)scale; (void)write_tree;
+  (void)write_level; (void)write_rank; (void)wrap_rank;
+  (void)num_scalars; (void)num_vectors; (void)filename;
 }
