@@ -166,6 +166,17 @@ def _kernel(u_ref, gath_ref, cw_ref, scal_ref, Wvol_ref, Wtr_ref,
         base = f * 2 * nfl
         u_f = t[:, base:base + nfl]
         dn_m = drstn * t[:, base + nfl:base + 2 * nfl]
+        if precision == "bf16":
+            # Round the recomputed own traces through bf16 so both sides
+            # of a face read the SAME (rounded) trace values — the
+            # neighbor sees this element's phase-A bf16 copy, and an
+            # unrounded own copy would break the operator's symmetry at
+            # the 2^-9 level (ADVICE r3).  Exact bitwise symmetry still
+            # requires precision="f32" (accumulation order of the two
+            # GEMMs may differ); this keeps any asymmetry at or below
+            # bf16 rounding of the same f32 value.
+            u_f = u_f.astype(jnp.bfloat16).astype(f32)
+            dn_m = dn_m.astype(jnp.bfloat16).astype(f32)
         u_p = g[:, base:base + nfl]
         dn_p = g[:, base + nfl:base + 2 * nfl]
         u_p = jnp.where(bnd > 0, 0.0, u_p)
@@ -183,11 +194,16 @@ def _kernel(u_ref, gath_ref, cw_ref, scal_ref, Wvol_ref, Wtr_ref,
 
 
 def pallas_path_available(mesh: MeshData, g) -> bool:
+    # Mirrors fast.fast_path_available: the kernel has no mortar pass and
+    # reads only the per-face scalar sigma, so hanging meshes and
+    # pointwise (sigma_q) penalties must take the general path.
     return (
         mesh.orth
         and not mesh.orient_codes
         and g is None
         and mesh.deg >= 1
+        and mesh.hc_elem.shape[0] == 0
+        and mesh.sigma_q is None
     )
 
 

@@ -551,7 +551,7 @@ def apply_mass(mesh: MeshData, v, on_quad: bool = False):
     _, wq1 = mesh.quad.nodes_weights(deg_quad)
     w = tensor.tensor_weights([wq1] * dim, dtype=dtype)
     v_q = v if on_quad else tensor.apply_iso(Vq, v, dim)
-    return tensor.apply_iso(Vq.T, w * mesh.j_quad.astype(dtype) * v_q, dim)
+    return tensor.apply_iso(Vq.T, w * mesh.j_at_quad(dtype) * v_q, dim)
 
 
 @jax.jit

@@ -100,10 +100,7 @@ def build_structured(mesh: MeshData, max_be: int = 512):
     origin = getattr(geom, "tree_origin", None)
     if origin is None:
         return None
-    ROOT = 1 << 30  # mesh.tree ROOT length (p4est convention)
-    from disco4est_tpu.mesh.tree import ROOT as TROOT
-
-    ROOT = TROOT
+    from disco4est_tpu.mesh.tree import ROOT  # tree root length (p4est convention)
     h = ROOT >> int(lv[0])
     coords = (
         np.asarray(origin)[np.asarray(forest.tree)] * ROOT

@@ -220,26 +220,39 @@ class MeshData:
         return _l2_norm_sqr(self, u)
 
 
+def _require_full(mesh: "MeshData", what: str):
+    if mesh.xyz_lobatto is None:
+        raise ValueError(
+            f"{what} needs per-point position arrays; this mesh was built "
+            "with store_full=False (compact affine factors only) — rebuild "
+            "with store_full=True"
+        )
+
+
 @partial(jax.jit, static_argnums=(1,))
 def _init_field(mesh: "MeshData", fcn):
+    _require_full(mesh, "init_field")
     coords = [mesh.xyz_lobatto[:, d] for d in range(mesh.dim)]
     return fcn(*coords)
 
 
 @partial(jax.jit, static_argnums=(1,))
 def _init_field_on_quad(mesh: "MeshData", fcn):
+    _require_full(mesh, "init_field_on_quad")
     coords = [mesh.xyz_quad[:, d] for d in range(mesh.dim)]
     return fcn(*coords)
 
 
 @partial(jax.jit, static_argnums=(1,))
 def _boundary_values(mesh: "MeshData", fcn):
+    _require_full(mesh, "boundary_values")
     coords = [mesh.face_xyz_lobatto[:, :, d] for d in range(mesh.dim)]
     return fcn(*coords)
 
 
 @partial(jax.jit, static_argnums=(1,))
 def _boundary_values_quad(mesh: "MeshData", fcn):
+    _require_full(mesh, "boundary_values_quad")
     coords = [mesh.face_xyz_quad[:, :, d] for d in range(mesh.dim)]
     return fcn(*coords)
 
@@ -250,7 +263,8 @@ def _l2_norm_sqr(mesh: "MeshData", u):
     _, w1 = mesh.quad.nodes_weights(mesh.deg_quad)
     u_q = tensor.apply_iso(Vq, u, mesh.dim)
     w = tensor.tensor_weights([w1] * mesh.dim, dtype=u.dtype)
-    integrand = w * mesh.j_quad * u_q * u_q
+    # j_at_quad broadcasts the compact constant on store_full=False meshes
+    integrand = w * mesh.j_at_quad(u.dtype) * u_q * u_q
     return jnp.sum(integrand.reshape(u.shape[0], -1), axis=1)
 
 

@@ -129,17 +129,17 @@ def build_halo_program(mesh: MeshData, n_dev: int) -> HaloProgram:
 
 
 def apply_sipg_halo(mesh: MeshData, halo: HaloProgram, u, dev_mesh: Mesh):
-    if mesh.sigma_q is not None:
-        raise NotImplementedError(
-            "sharded apply with pointwise penalty (j_div_sj_quad) not "
-            "implemented yet"
-        )
     """Halo-exchange SIPG apply: jit(shard_map(...)) over the "e" axis.
 
     `mesh` arrays and `u` must be sharded over `dev_mesh`; returns Au with
     the same sharding.  Matches `apply_sipg(mesh, u, g)` bitwise up to
     float reassociation.
     """
+    if mesh.sigma_q is not None:
+        raise NotImplementedError(
+            "sharded apply with pointwise penalty (j_div_sj_quad) not "
+            "implemented yet"
+        )
     dim, deg, deg_quad = mesh.dim, mesh.deg, mesh.deg_quad
     nl, nq = deg + 1, deg_quad + 1
     dtype = u.dtype

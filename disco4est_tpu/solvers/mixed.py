@@ -67,8 +67,9 @@ def mixed_refine_solve(
     """Solve A x = b to f64 accuracy with f32 inner solves.
 
     `A` is the f64 matrix-free operator.  The inner correction solve is
-    either `inner_solve(r32) -> d32` (e.g. a V-cycle or preconditioned
-    CG in f32) or, by default, CG on `A32` (defaults to `A` evaluated on
+    either `inner_solve(r32) -> (d32, iterations)` (e.g. a V-cycle or
+    preconditioned CG in f32; `structured.make_inner_solve` has this
+    shape) or, by default, CG on `A32` (defaults to `A` evaluated on
     f32 inputs — pass a dedicated f32-mesh closure to avoid casting the
     f64 factors on every apply).  All on-device (`lax.while_loop`).
     """
@@ -88,23 +89,26 @@ def mixed_refine_solve(
     tol = jnp.maximum(atol, rtol * bnorm)
 
     def cond(state):
-        x, rn, k, tot = state
+        x, r, rn, k, tot = state
         return (rn > tol) & (k < max_outer)
 
     def body(state):
-        x, rn, k, tot = state
-        r = b - A(x)
-        rnorm = jnp.sqrt(_dot(r, r))
-        scale = jnp.where(rnorm > 0, rnorm, 1.0)
+        # the residual is carried in the loop state so each outer step
+        # pays exactly ONE f64 apply (ADVICE r3: r at the top of body and
+        # r2 at the bottom were the same quantity computed twice)
+        x, r, rn, k, tot = state
+        scale = jnp.where(rn > 0, rn, 1.0)
         r32 = (r / scale).astype(jnp.float32)
         d32, it = inner_solve(r32)
         x = x + scale * d32.astype(b.dtype)
         r2 = b - A(x)
-        return (x, jnp.sqrt(_dot(r2, r2)), k + 1, tot + it)
+        return (x, r2, jnp.sqrt(_dot(r2, r2)), k + 1, tot + it)
 
     r0 = b - A(x0)
-    state = (x0, jnp.sqrt(_dot(r0, r0)), jnp.asarray(0), jnp.asarray(0))
-    x, rn, k, tot = jax.lax.while_loop(cond, body, state)
+    state = (
+        x0, r0, jnp.sqrt(_dot(r0, r0)), jnp.asarray(0), jnp.asarray(0)
+    )
+    x, _, rn, k, tot = jax.lax.while_loop(cond, body, state)
     return MixedResult(
         x=x, outer_iterations=k, inner_iterations=tot, residual_norm=rn
     )

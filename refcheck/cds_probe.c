@@ -1,12 +1,13 @@
-/* Ground-truth harness: TwoPunctures regression
- * (Tests/Regression/d4est_test_twopunctures.sh: grep
- * "56.0000000000000000 0.00042501315", num_of_amr_steps = 0).
+/* PROVENANCE: thin main deriving from (and #include-ing) the reference's
+ * /root/reference/src/Problems/ConstantDensityStar/
+ *   constant_density_star_mgpc_newton_petsc.c
+ * — ground-truth oracle for the CDS regression
+ * (Tests/Regression/d4est_test_cds.sh / d4est_test_mpi.sh digits).
  *
- * Compiles the ACTUAL regression problem driver
- * (constant_density_star_mgpc_newton_petsc.c, included below,
- * problem_init + its point-probe prints) against the PETSc-free core;
- * petsc_solver_stubs.c forwards SNES/KSP to the in-house Newton + FCG.
- * The grep digits are the [dof, point] rows of DEBUG_PRINT_4ARR_DBL.
+ * Compiles the ACTUAL regression problem driver against the PETSc-free
+ * core; petsc_solver_stubs.c forwards SNES/KSP to the in-house
+ * Newton + FCG.  Part of the refcheck oracle, NOT of disco4est_tpu;
+ * never imported by the framework.
  */
 #include <pXest.h>
 #include <stdio.h>

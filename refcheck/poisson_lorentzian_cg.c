@@ -1,4 +1,9 @@
-/* Ground-truth harness: reference d4est Poisson-Lorentzian, level 0.
+/* PROVENANCE: new thin harness re-expressing the setup of the reference's
+ * /root/reference/src/driver.c + src/Problems/Poisson/poisson_lorentzian*.c
+ * against the reference's own core objects (refcheck oracle; NOT part of
+ * disco4est_tpu and never imported by it).
+ *
+ * Ground-truth harness: reference d4est Poisson-Lorentzian, level 0.
  *
  * Reproduces the level-0 line of Tests/Regression/
  * d4est_test_poisson_lorentzian.sh: "104 832 832 2706.02899845..."

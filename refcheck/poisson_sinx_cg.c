@@ -1,4 +1,9 @@
-/* Ground-truth harness: reference d4est Poisson-sinx with in-house CG.
+/* PROVENANCE: new thin harness re-expressing the setup of the reference's
+ * /root/reference/src/driver.c + src/Problems/Poisson/poisson_sinx_uniform.c
+ * against the reference's own core objects (refcheck oracle; NOT part of
+ * disco4est_tpu and never imported by it).
+ *
+ * Ground-truth harness: reference d4est Poisson-sinx with in-house CG.
  *
  * Reproduces driver.c + Problems/Poisson/poisson_sinx_uniform.c using only
  * the PETSc/HDF5-free core (single rank; digits are rank-independent by

@@ -1,3 +1,15 @@
+/* PROVENANCE: near-verbatim copy of the reference's own unit test
+ * /root/reference/src/Tests/Unit/d4est_test_schwarz_cubed_sphere_new.c
+ * (the source of the Schwarz regression digit 0.15228638,
+ * Tests/Regression/d4est_test_schwarz.sh:5).
+ *
+ * This file is part of the refcheck GROUND-TRUTH ORACLE: it compiles and
+ * runs THE REFERENCE ITSELF (linked against the reference's src/ objects
+ * via build.sh) to regenerate regression digits at full precision on this
+ * machine.  It is NOT part of the disco4est_tpu framework, is never
+ * imported by it, and is not counted as an implemented component.  Keep
+ * out of disco4est_tpu/.
+ */
 #define _GNU_SOURCE
 #include <pXest.h>
 #include <d4est_quadrature.h>
