@@ -78,6 +78,25 @@ def geometry_from_options(opts: Options):
     raise ValueError(f"unknown geometry {name}")
 
 
+_FACE_H_MAP = {
+    "FACE_H_EQ_TREE_H": "tree_h",
+    "FACE_H_EQ_VOLUME_DIV_AREA": "volume_div_area",
+    "FACE_H_EQ_J_DIV_SJ_QUAD": "j_div_sj_quad",
+    "FACE_H_EQ_J_DIV_SJ_MIN_LOBATTO": "j_div_sj_min_lobatto",
+}
+
+
+def face_h_from_options(opts: Options) -> str:
+    """[mesh_parameters] face_h_type with the reference's enum vocabulary
+    (`Mesh/d4est_mesh.c:173-200`)."""
+    name = opts.get(
+        "mesh_parameters", "face_h_type", "FACE_H_EQ_VOLUME_DIV_AREA"
+    )
+    if name not in _FACE_H_MAP:
+        raise ValueError(f"unknown face_h_type {name!r}")
+    return _FACE_H_MAP[name]
+
+
 @dataclasses.dataclass
 class DriverResult:
     mesh: MeshData
@@ -212,12 +231,13 @@ def run_poisson(opts: Options, problem) -> DriverResult:
     deg_e = np.full(forest.n_elements, deg, np.int32)
     storage = deg
 
+    face_h_type = face_h_from_options(opts)
     for it in range(n_amr + 1):
         mixed = bool((deg_e != storage).any())
         mesh = build_mesh(
             geom, forest, deg=storage, quad=quad, deg_quad=storage + dq_inc,
             penalty_prefactor=prefactor, penalty_fcn=penalty_fcn,
-            deg_e=deg_e,
+            deg_e=deg_e, face_h_type=face_h_type,
         )
         g = mesh.boundary_values(problem.boundary)
         f = mesh.init_field(problem.rhs)
@@ -657,10 +677,12 @@ def run_nonlinear(opts: Options, problem) -> DriverResult:
     sp_state = None
     amr_history = []
 
+    face_h_type = face_h_from_options(opts)
     for it in range(n_amr + 1):
         mesh = build_mesh(
             geom, forest, deg=deg, quad=quad, deg_quad=deg + dq_inc,
             penalty_prefactor=prefactor, penalty_fcn=penalty_fcn,
+            face_h_type=face_h_type,
         )
         if problem.bc_type == "robin":
             bc = problem.robin_coeff_values(mesh)

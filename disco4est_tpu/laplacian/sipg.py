@@ -452,12 +452,16 @@ def _apply_hanging(mesh: MeshData, u_f, dudr_f, Vq, wf, D, dtype,
 
         sj = mesh.hc_sj[:, b].astype(dtype)
         n = mesh.hc_n[:, b].astype(dtype)
-        sig = mesh.hc_sigma[:, b].astype(dtype)
         jump = u_m_q - u_p_q
         term1 = -jnp.einsum("md...,md...->m...", n, 0.5 * (dudx_m + dudx_p)) * sj
         drst_n = jnp.einsum("mld...,md...->ml...", drst_m, n)
         term2 = -0.5 * drst_n * (sj * jump)[:, None]
-        term3 = sj * sig.reshape((M,) + (1,) * (dim - 1)) * jump
+        if mesh.hc_sigma_q is not None:
+            # pointwise mortar penalty (FACE_H_EQ_J_DIV_SJ_QUAD)
+            term3 = sj * mesh.hc_sigma_q[:, b].astype(dtype) * jump
+        else:
+            sig = mesh.hc_sigma[:, b].astype(dtype)
+            term3 = sj * sig.reshape((M,) + (1,) * (dim - 1)) * jump
 
         vt1 = _face_apply(Vq.T, wf * term1, dim)
         vt2 = _face_apply(Vq.T, wf * term2, dim)
@@ -489,7 +493,6 @@ def _apply_hanging(mesh: MeshData, u_f, dudr_f, Vq, wf, D, dtype,
     drst_m = mesh.face_drst[fe, ff].astype(dtype)  # [Mf, l, d, nfq...]
     sj = mesh.face_sj[fe, ff].astype(dtype)
     n = mesh.face_n[fe, ff].astype(dtype)
-    sig = mesh.hc_sigma.reshape(-1).astype(dtype)
 
     u_m_q = _face_apply(Vq, u_m, dim)
     du_m_q = _face_apply(Vq, du_m, dim)
@@ -529,7 +532,16 @@ def _apply_hanging(mesh: MeshData, u_f, dudr_f, Vq, wf, D, dtype,
     term1 = -jnp.einsum("md...,md...->m...", n, 0.5 * (dudx_m + dudx_p)) * sj
     drst_n = jnp.einsum("mld...,md...->ml...", drst_m, n)
     term2 = -0.5 * drst_n * (sj * jump)[:, None]
-    term3 = sj * sig.reshape((Mf,) + (1,) * (dim - 1)) * jump
+    if mesh.hc_sigma_q is not None:
+        # coarse-frame pointwise penalty permuted into each fine frame
+        sig_q = jnp.take_along_axis(
+            mesh.hc_sigma_q.astype(dtype).reshape(Mf, nfq_flat),
+            mesh.hf_perm_q, axis=-1,
+        ).reshape((Mf,) + fshape_q)
+        term3 = sj * sig_q * jump
+    else:
+        sig = mesh.hc_sigma.reshape(-1).astype(dtype)
+        term3 = sj * sig.reshape((Mf,) + (1,) * (dim - 1)) * jump
 
     vt1 = _face_apply(Vq.T, wf * term1, dim)
     vt2 = _face_apply(Vq.T, wf * term2, dim)

@@ -137,6 +137,10 @@ class MeshData:
     # fine-side rows, flattened (m, b) -> row m*K + b
     hf_perm_l: jnp.ndarray  # [M*K, nfl_flat] coarse-frame -> fine-frame
     hf_perm_q: jnp.ndarray  # [M*K, nfq_flat]
+    # pointwise mortar penalty (j_div_sj_quad only): [M, K, nfq...] in the
+    # COARSE mortar frame; fine rows permute it via hf_perm_q.  None for
+    # the scalar penalty modes.
+    hc_sigma_q: jnp.ndarray | None = None
 
     # --- compact affine factors (None for curved geometries) ------------
     # Affine tree maps have constant Jacobians, so one value per element
@@ -401,10 +405,50 @@ def build_mesh(
 
     from disco4est_tpu.mesh.faces import BOUNDARY, CONF, _orientation_code
 
+    # --- penalty h source (reference [mesh_parameters] face_h_type, all
+    # four production modes of `Mesh/d4est_mesh.c:650-800`) --------------
+    if face_h_type == "tree_h":
+        # FACE_H_EQ_TREE_H: h = dq/P4EST_ROOT_LEN = 2^-level, tree units
+        # (`d4est_mesh_calculate_mortar_h_eq_tree_h`, `d4est_mesh.c:668`).
+        th = 2.0 ** -forest.level.astype(np.float64)
+        h_scalar = np.ascontiguousarray(
+            np.broadcast_to(th[:, None], (E, nfaces))
+        )
+    elif face_h_type == "j_div_sj_min_lobatto":
+        # FACE_H_EQ_J_DIV_SJ_MIN_LOBATTO (`d4est_mesh.c:730-750`): scalar
+        # per element face = min over the face's Lobatto points of J/sj.
+        if not store_full:
+            raise ValueError("j_div_sj_min_lobatto requires store_full")
+        h_scalar = np.asarray(fac["face_h_lob"])
+    elif face_h_type in ("volume_div_area", "j_div_sj_quad"):
+        # volume/area as the scalar h; j_div_sj_quad overrides the
+        # conforming/hanging sigma with pointwise arrays below.
+        h_scalar = np.asarray(fac["face_h"])
+    else:
+        raise ValueError(f"unknown face_h_type {face_h_type!r}")
+
+    if face_h_type in ("tree_h", "j_div_sj_min_lobatto"):
+        # recompute the conforming/boundary sigma from the selected h
+        h_m = h_scalar
+        h_p = h_scalar[np.asarray(nbr_elem), np.asarray(nbr_face)]
+        h_p = np.where(ft.kind == BOUNDARY, h_m, h_p)
+        p_m = np.broadcast_to(
+            deg_e[:, None], h_m.shape
+        ).astype(np.float64)
+        p_p = deg_e[np.asarray(nbr_elem)].astype(np.float64)
+        fac["sigma"] = jnp.asarray(
+            np.asarray(
+                sigma_from_degrees(
+                    penalty_fcn, float(penalty_prefactor), p_m, p_p,
+                    h_m, h_p,
+                )
+            )
+        )
+
     # --- hanging mortar tables ------------------------------------------
     M = len(ft.hc_elem)
     K = 1 << (dim - 1)
-    face_h_np = np.asarray(fac["face_h"])
+    face_h_np = h_scalar
     fshape_q = (nq,) * (dim - 1)
     if M > 0:
         ce, cf = ft.hc_elem, ft.hc_face.astype(np.int32)
@@ -497,10 +541,6 @@ def build_mesh(
     if face_h_type == "j_div_sj_quad":
         if not store_full:
             raise ValueError("j_div_sj_quad requires store_full=True")
-        if M > 0:
-            raise NotImplementedError(
-                "pointwise penalty on hanging meshes not implemented yet"
-            )
         h_q = (np.asarray(fac["face_j"]) / np.asarray(fac["face_sj"])).reshape(
             E, nfaces, -1
         )
@@ -521,33 +561,28 @@ def build_mesh(
                 )
             ).reshape((E, nfaces) + (nq,) * (dim - 1))
         )
-    elif face_h_type == "j_div_sj_min_lobatto":
-        # scalar per face: h = min over face Lobatto points of J/sj
-        # (FACE_H_EQ_J_DIV_SJ_MIN_LOBATTO, `d4est_mesh.c:730-741`);
-        # penalty recomputed with it (overrides the vol/area sigma)
-        if not store_full:
-            raise ValueError("j_div_sj_min_lobatto requires store_full")
         if M > 0:
-            raise NotImplementedError(
-                "j_div_sj_min_lobatto on hanging meshes not implemented"
+            # hanging mortars: h_m on the coarse side is j/sj of the
+            # MORTAR-sized quadrant = (1/2)·J_c/sj_c at the subface quad
+            # points (`d4est_mortars.c` mortar_dq halving); h_p is the
+            # fine element's own-face J/sj, reoriented into the coarse
+            # mortar frame (`d4est_mesh.c:1046-1070`).
+            nfq_flat_ = int(np.prod(fshape_q)) if dim > 1 else 1
+            h_m_q = np.asarray(mfac["j_div_sj"]).reshape(M, K, nfq_flat_)
+            h_f_face = h_q.reshape(E, nfaces, nfq_flat_)[
+                ft.hc_fine, ft.hc_fine_face.astype(np.int32)
+            ]  # [M, K, nfq_flat] in each fine element's own frame
+            h_p_q = np.take_along_axis(h_f_face, hc_perm_q, axis=-1)
+            p_c = deg_e[ce].astype(np.float64)[:, None, None]
+            p_f = deg_e[ft.hc_fine].astype(np.float64)[:, :, None]
+            mortar["hc_sigma_q"] = jnp.asarray(
+                np.asarray(
+                    sigma_from_degrees(
+                        penalty_fcn, float(penalty_prefactor),
+                        p_c, p_f, h_m_q, h_p_q,
+                    )
+                ).reshape((M, K) + fshape_q)
             )
-        h_m = np.asarray(fac["face_h_lob"])  # [E, 2d]
-        h_p = h_m[np.asarray(nbr_elem), np.asarray(nbr_face)]
-        h_p = np.where(ft.kind == BOUNDARY, h_m, h_p)
-        p_m = np.broadcast_to(
-            deg_e[:, None], h_m.shape
-        ).astype(np.float64)
-        p_p = deg_e[np.asarray(nbr_elem)].astype(np.float64)
-        fac["sigma"] = jnp.asarray(
-            np.asarray(
-                sigma_from_degrees(
-                    penalty_fcn, float(penalty_prefactor), p_m, p_p,
-                    h_m, h_p,
-                )
-            )
-        )
-    elif face_h_type != "volume_div_area":
-        raise ValueError(f"unknown face_h_type {face_h_type!r}")
     fac.pop("face_j", None)
     fac.pop("face_h_lob", None)
 
@@ -772,7 +807,7 @@ def _compute_mortar_factors(geom, dim, deg_quad, quad, K, tree, anchor, hfrac, c
     ]
 
     def row(t, a, h, f):
-        sjs, ns, drsts = [], [], []
+        sjs, ns, drsts, jdivsjs = [], [], [], []
         for b in range(K):
             pts = pts_b[b][f]  # [nfq..., dim]
             rst_tree = a + (pts + 1.0) * 0.5 * h
@@ -787,15 +822,22 @@ def _compute_mortar_factors(geom, dim, deg_quad, quad, K, tree, anchor, hfrac, c
             sjs.append(sj * 0.5 ** (dim - 1))
             ns.append(jnp.moveaxis(n, -1, 0))
             drsts.append(jnp.moveaxis(jnp.moveaxis(drdx, -1, 0), -1, 0))
-            # drdx [..., l, d] -> after moves [l, d, ...]? verify below.
+            # Reference j_div_sj on the coarse side of a hanging mortar is
+            # computed with the MORTAR-sized (half) quadrant
+            # (`d4est_mortars_compute_qcoords_on_mortar` halves dq):
+            # J_mortar = (1/2)^dim J, sj_mortar = (1/2)^{dim-1} sj, so
+            # j/sj on the mortar = (1/2) J/sj of the coarse element
+            # (`d4est_mortars.c:255-257`).
+            jdivsjs.append(0.5 * J / sj)
         return (
             jnp.stack(sjs),
             jnp.stack(ns),
             jnp.stack(drsts),
+            jnp.stack(jdivsjs),
         )
 
-    sj, n, drst = jax.vmap(row)(tree, anchor, hfrac, cf)
-    return {"sj": sj, "n": n, "drst": drst}
+    sj, n, drst, jdivsj = jax.vmap(row)(tree, anchor, hfrac, cf)
+    return {"sj": sj, "n": n, "drst": drst, "j_div_sj": jdivsj}
 
 
 def _subface_points(x1: np.ndarray, dim: int, face: int, b: int) -> jnp.ndarray:
