@@ -43,9 +43,9 @@ def _jac_solve(mesh, u0, rhs, rtol):
     return cg_solve(
         lambda v: jacobian_apply(mesh, u0, v, PARAMS),
         rhs,
-        atol=1e-14,
+        atol=1e-15,
         rtol=rtol,
-        max_iter=5000,
+        max_iter=20000,
     ).x
 
 
@@ -56,7 +56,7 @@ def _solve_on(mesh):
         residual=lambda u: _res(mesh, u, g),
         jacobian_solve=lambda u, rhs, rtol: _jac_solve(mesh, u, rhs, rtol),
         u0=u0,
-        params=NewtonParams(atol=1e-11, max_iter=20, inner_rtol=1e-10),
+        params=NewtonParams(atol=1e-13, max_iter=30, inner_rtol=1e-12),
     )
     return result, g
 
@@ -65,10 +65,10 @@ def test_cds_newton_and_amr():
     geom = BrickGeometry(dim=3)
     forest = Forest.uniform(geom.conn, 2)
     deg = 2
-    mesh = build_mesh(geom, forest, deg=deg)
+    mesh = build_mesh(geom, forest, deg=deg, face_h_type="tree_h")
 
     result, g = _solve_on(mesh)
-    assert result.residual_norm < 1e-10, result.history
+    assert result.residual_norm < 1e-12, result.history
     assert result.iterations <= 10
 
     u = result.u
@@ -85,28 +85,44 @@ def test_cds_newton_and_amr():
     # pin our full-precision value against drift
     assert abs(err0 - 9.607862111733e-06) < 1e-15, err0
 
-    # ---- one smooth_pred AMR step --------------------------------------
+    # ---- one smooth_pred AMR step (the reference CDS regression config:
+    # [amr] percentile=10 but 64 elems < inflation_size=128 so the marker
+    # uses percentile 25, gamma_h=.25, FACE_H_EQ_TREE_H) -----------------
     F = _res(mesh, u, g)
-    eta2 = np.asarray(estimate_bi(mesh, u, F, g=g))
+    eta2 = np.asarray(estimate_bi(mesh, u, F, g=g, penalty_prefactor=2.0))
     sp_params = SmoothPredParams(
-        gamma_h=0.25, gamma_p=0.1, gamma_n=1.0, percentile=10.0,
+        gamma_h=0.25, gamma_p=0.1, gamma_n=1.0, percentile=25.0,
         max_degree=deg,  # uniform-degree round: force h-refinement
     )
     state = SmoothPredState.fresh(mesh.n_elements, sp_params)
     log, pred = smooth_pred_mark(eta2, deg, state, sp_params, dim=3)
-    assert (log < 0).sum() > 0  # something was marked for h-refinement
+    assert (log < 0).sum() == 32  # top-25% marking incl. the tie rule
 
     new_forest = refine_and_balance(mesh.forest, log < 0)
-    assert new_forest.n_elements > mesh.n_elements
     u_new = transfer_field(mesh.forest, new_forest, u, deg)
-    mesh2 = build_mesh(geom, new_forest, deg=deg)
+    mesh2 = build_mesh(geom, new_forest, deg=deg, face_h_type="tree_h")
 
-    result2, _ = _solve_on(mesh2)
+    result2, g2 = _solve_on(mesh2)
     psi_a2 = mesh2.init_field(PARAMS.psi)
     err1 = float(jnp.sqrt(jnp.sum(mesh2.l2_norm_sqr(result2.u - psi_a2))))
 
-    # AMR should not degrade the error; near the star it should improve it.
-    assert err1 < err0, (err0, err1)
-    # Record the trajectory for cross-round comparison (reference value at
-    # this config: 3.183566511e-5 on the reference's discretization).
-    print(f"CDS L2 errors: uniform={err0:.12e} after-amr={err1:.12e}")
+    # CONVERGED CDS-AMR GROUND TRUTH (refcheck/GROUND_TRUTH.md): the
+    # reference's own driver, solved to machine precision, gives
+    #   288 7776 7776  L2 = 3.7944365819784e-6
+    #   energy_estimator = sqrt(total eta2) = 3.18356715487649e-5
+    # (the published regression digit 3.183566511e-5 deviates by 2e-6 rel
+    # because it encodes the recording run's PETSc stopping state).  Our
+    # smooth_pred marks the SAME elements (288 after 2:1 balance) and the
+    # estimator matches to ~9 digits.
+    assert mesh2.n_elements == 288, mesh2.n_elements
+    assert mesh2.local_nodes == 7776
+    assert abs(err1 - 3.7944365819784e-6) < 2e-15, err1
+
+    F2 = _res(mesh2, result2.u, g2)
+    eta2_2 = np.asarray(
+        estimate_bi(mesh2, result2.u, F2, g=g2, penalty_prefactor=2.0)
+    )
+    est = float(np.sqrt(eta2_2.sum()))
+    assert abs(est - 3.18356715487649e-5) < 1e-12, est
+    print(f"CDS L2 errors: uniform={err0:.12e} after-amr={err1:.12e} "
+          f"energy_est={est:.12e}")
