@@ -51,10 +51,20 @@ from disco4est_tpu.laplacian.sipg import apply_sipg
 # ---------------------------------------------------------------------------
 
 
-def subdomain_members(forest: Forest) -> list[np.ndarray]:
+def subdomain_members(forest: Forest, return_rel: bool = False):
     """For each element: sorted unique indices of it + every leaf sharing
     a face, edge, or corner (the reference's vertex-patch membership,
-    `d4est_solver_schwarz_metadata.c`)."""
+    `d4est_solver_schwarz_metadata.c`).
+
+    With `return_rel=True` also returns `rel`: a dict mapping
+    (element, neighbor) -> off tuple, where `off[a] ∈ {-1,0,1}` is the
+    probe direction IN THE ELEMENT'S OWN FRAME through which it sees the
+    neighbor.  Among multiple hits the off with the fewest nonzero axes
+    wins — the reference classifies shared-face over shared-edge over
+    shared-corner (`_schwarz_metadata.c:276-360`), and `rel[(e, s)]`
+    plays the role of element e's `faces[]`/`core_faces[]` metadata for
+    subdomain s.
+    """
     from itertools import product
 
     dim = forest.dim
@@ -64,11 +74,13 @@ def subdomain_members(forest: Forest) -> list[np.ndarray]:
     keys = forest._lookup_arrays()
 
     members = [{e} for e in range(E)]
+    rel: dict = {}
     hf = h // 2  # finest possible neighbor size (2:1 balance)
 
     for off in product((-1, 0, 1), repeat=dim):
         if not any(off):
             continue
+        nnz = sum(1 for o in off if o)
         # per-axis sample offsets relative to my anchor (x = axis 0)
         axis_samples = []
         for a in range(dim):
@@ -97,7 +109,14 @@ def subdomain_members(forest: Forest) -> list[np.ndarray]:
             idx = np.searchsorted(keys, q, side="right") - 1
             for e, n in zip(live, idx):
                 members[e].add(int(n))
-    return [np.array(sorted(m), np.int64) for m in members]
+                key = (int(e), int(n))
+                prev = rel.get(key)
+                if prev is None or nnz < sum(1 for o in prev if o):
+                    rel[key] = off
+    out = [np.array(sorted(m), np.int64) for m in members]
+    if return_rel:
+        return out, rel
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -140,14 +159,41 @@ def _unflatten_os(aux, ch):
 jax.tree_util.register_pytree_node(OverlappingSchwarz, _flatten_os, _unflatten_os)
 
 
-def _strip_profiles(nl: int, ov: int, dtype=np.float64):
-    """1D node weights for a neighbor strip: `ov` layers counted from the
-    shared face, hat-profile decaying into the neighbor (the reference's
-    poly-hat weights, `d4est_solver_schwarz_operators.h:8-33`)."""
-    w_low = np.zeros(nl, dtype)  # face at my LOW end (index 0)
-    for i in range(min(ov, nl)):
-        w_low[i] = 1.0 - (i + 1.0) / (ov + 1.0)
-    return w_low, w_low[::-1].copy()
+def _quintic_phi(r: np.ndarray) -> np.ndarray:
+    """phi(r): quintic hat edge, clipped to sign(r) outside [-1, 1]
+    (`d4est_solver_schwarz_operators.c:7-27`)."""
+    r = np.asarray(r, np.float64)
+    poly = (15.0 * r - 10.0 * r**3 + 3.0 * r**5) / 8.0
+    return np.where(r < -1.0, -1.0, np.where(r > 1.0, 1.0, poly))
+
+
+def _hat_weight(r: np.ndarray, d0: float) -> np.ndarray:
+    """poly_hat_weight_fcn: w(r) = ½(phi((r+1)/d0) − phi((r−1)/d0));
+    telescopes to an exact partition of unity across the core and its
+    ±2-shifted neighbors when d0 ≤ 2.  d0 = 0 (num_nodes_overlap = 1:
+    only the face layer overlaps) is taken in the limit: the step
+    partition with weight ½ exactly on the shared face (the reference's
+    formula divides by zero there)."""
+    r = np.asarray(r, np.float64)
+    if d0 == 0.0:
+        return 0.5 * (np.sign(r + 1.0) - np.sign(r - 1.0))
+    return 0.5 * (_quintic_phi((r + 1.0) / d0) - _quintic_phi((r - 1.0) / d0))
+
+
+def _schwarz_weights_1d(nl: int, rs: int):
+    """The reference's 1D weight table
+    (`d4est_solver_schwarz_operators_build_schwarz_weights_1d`):
+    returns (w_core[nl], w_left[rs], w_right[rs]) where `left/right` name
+    the subdomain element's position relative to the core; d0 = overlap
+    size in rst space = 1 − r_{nl−rs}."""
+    from disco4est_tpu.ops.operators import DB
+
+    r = np.asarray(DB.ops(nl - 1).lobatto_nodes, np.float64)
+    d0 = 1.0 - r[nl - rs]
+    w_core = _hat_weight(r, d0)
+    w_left = _hat_weight(r[nl - rs:] - 2.0, d0)   # its LAST rs nodes
+    w_right = _hat_weight(r[:rs] + 2.0, d0)       # its FIRST rs nodes
+    return w_core, w_left, w_right
 
 
 def build_overlapping_schwarz(
@@ -164,7 +210,7 @@ def build_overlapping_schwarz(
     nfaces = 2 * dim
     ov = int(num_nodes_overlap)
 
-    mem_lists = subdomain_members(forest)
+    mem_lists, rel = subdomain_members(forest, return_rel=True)
     K = max(len(m) for m in mem_lists)
     S = E
     member = np.full((S, K), E, np.int64)  # E = dummy slot
@@ -344,42 +390,56 @@ def build_overlapping_schwarz(
         **compact,
     )
 
-    # ---- masks & weights (node strips) -----------------------------------
-    w_low, w_high = _strip_profiles(nl, ov)
-    anchor = forest.anchor.astype(np.int64)
-    h = (ROOT >> forest.level.astype(np.int64)).astype(np.int64)
-    # cross-tree members: positions are not comparable through the raw
-    # anchors; recover the relation from physical face adjacency instead.
-    xyz_c = np.asarray(mesh.xyz_lobatto)  # [E, dim, nl...]
+    # ---- masks & weights: the reference's quintic-hat scheme -------------
+    # Restriction (mask) keeps `ov` node layers along every axis through
+    # which the member touches the core, in the MEMBER'S OWN frame
+    # (`apply_schwarz_restrictor` with `ed.faces`); weights are the
+    # quintic-hat partition of unity: the side-block hat on touching
+    # axes, the CORE hat profile on the remaining axes (the reference
+    # populates every axis with the core weights first,
+    # `apply_schwarz_weights`, `_schwarz_operators.c`), and no
+    # normalization — the hat telescopes to Σ w = 1 exactly on
+    # conforming meshes.
+    w_core_1d, w_left_1d, w_right_1d = _schwarz_weights_1d(nl, ov)
 
     mask = np.zeros((S, K) + (nl,) * dim)
     weight = np.zeros((S, K) + (nl,) * dim)
-    ones = np.ones(nl)
+    m_core_1d = np.ones(nl)
+    m_low = np.zeros(nl)
+    m_low[:ov] = 1.0  # core at my LOW side: keep my first ov layers
+    m_high = np.zeros(nl)
+    m_high[nl - ov:] = 1.0
+    w_low = np.zeros(nl)
+    w_low[:ov] = w_right_1d  # I'm RIGHT of the core
+    w_high = np.zeros(nl)
+    w_high[nl - ov:] = w_left_1d  # I'm LEFT of the core
+
     for s in range(S):
-        cmin = xyz_c[s].reshape(dim, -1).min(1)
-        cmax = xyz_c[s].reshape(dim, -1).max(1)
         for k in range(K):
             if not valid[s, k]:
                 continue
             e = member[s, k]
             if e == s:
                 mask[s, k] = 1.0
-                weight[s, k] = 1.0
+                ww = w_core_1d
+                for _ in range(dim - 1):
+                    ww = np.multiply.outer(ww, w_core_1d)
+                weight[s, k] = ww
                 continue
-            emin = xyz_c[e].reshape(dim, -1).min(1)
-            emax = xyz_c[e].reshape(dim, -1).max(1)
+            off = rel.get((int(e), int(s)))
             per_axis_m = []
             per_axis_w = []
-            tol = 1e-10 * max(np.max(cmax - cmin), 1e-30)
             for a in range(dim):
-                if emin[a] >= cmax[a] - tol:  # e to the RIGHT of center
-                    wa = w_low
-                elif emax[a] <= cmin[a] + tol:  # LEFT
-                    wa = w_high
+                o = 0 if off is None else off[a]
+                if o < 0:  # core at my LOW side along my axis a
+                    per_axis_m.append(m_low)
+                    per_axis_w.append(w_low)
+                elif o > 0:
+                    per_axis_m.append(m_high)
+                    per_axis_w.append(w_high)
                 else:
-                    wa = ones
-                per_axis_w.append(wa)
-                per_axis_m.append((wa > 0).astype(np.float64))
+                    per_axis_m.append(m_core_1d)
+                    per_axis_w.append(w_core_1d)
             wm = per_axis_m[dim - 1]
             ww = per_axis_w[dim - 1]
             for a in range(dim - 2, -1, -1):
@@ -387,12 +447,6 @@ def build_overlapping_schwarz(
                 ww = np.multiply.outer(ww, per_axis_w[a])
             mask[s, k] = wm
             weight[s, k] = ww
-
-    # partition of unity: normalize by the accumulated weight per global node
-    total = np.zeros((E + 1,) + (nl,) * dim)
-    np.add.at(total, member.reshape(-1), weight.reshape((S * K,) + (nl,) * dim))
-    total[total == 0] = 1.0
-    weight = weight / total[member]
 
     return OverlappingSchwarz(
         rep_mesh=rep_mesh,

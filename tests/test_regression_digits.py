@@ -188,3 +188,78 @@ def test_two_punctures_13tree_digit():
 
     val, elem = interpolate_at_point(mesh, result.u, (100.0, 0.0, 0.0))
     assert abs(val - 0.0001690472493169) < 1e-12, val
+
+
+def test_schwarz_cubed_sphere_trajectory():
+    """Schwarz regression digit `0.15228638`
+    (`Tests/Regression/d4est_test_schwarz.sh:5`) and the full 10-iterate
+    trajectory of the reference's own unit test
+    (`Tests/Unit/d4est_test_schwarz_cubed_sphere_new.c`, rerun at full
+    precision via refcheck/schwarz_sphere_test.c →
+    refbuild/harness/run/schwarz.out).
+
+    Config: 13-tree cubed sphere R0=1/3 R1=2/3 R2=1 (no compactify),
+    level 0 (13 elements), deg 4, legendre, FACE_H_EQ_J_DIV_SJ_QUAD,
+    maxp_sqr_over_minh prefactor 2; Schwarz num_nodes_overlap=4 with
+    converged subdomain CG; u₀=0; error norm = ∫(interp|e|)²J (the
+    reference's nodal-absolute quirk, `d4est_util_compute_error_array`).
+
+    One matching trajectory certifies the whole Schwarz subsystem —
+    membership, per-axis restriction, quintic-hat weights
+    (`_schwarz_operators.c:7-39`), restricted SIPG subdomain operator,
+    weighted correction — against the reference's 5.5 kLoC.
+    """
+    from disco4est_tpu.solvers.schwarz_overlap import (
+        build_overlapping_schwarz,
+    )
+
+    geom = CubedSphereGeometry(
+        "13tree", R0=1.0 / 3.0, R1=2.0 / 3.0, R2=1.0,
+        compactify_outer_shell=False, compactify_inner_shell=False,
+    )
+    forest = Forest.uniform(geom.conn, 0)
+    mesh = build_mesh(
+        geom, forest, deg=4, deg_quad=4, penalty_prefactor=2.0,
+        penalty_fcn="maxp_sqr_over_minh", face_h_type="j_div_sj_quad",
+    )
+    assert mesh.n_elements == 13
+
+    poly = lambda x, y, z: jnp.exp(x + y + z) * (x * x + y * y + z * z - 1.0)
+    neglap = lambda x, y, z: -jnp.exp(x + y + z) * (
+        3.0 + x * (4.0 + 3.0 * x) + y * (4.0 + 3.0 * y) + z * (4.0 + 3.0 * z)
+    )
+    g = mesh.boundary_values(poly)
+    f = mesh.init_field(neglap)
+    rhs = build_rhs_with_strong_bc(mesh, f, g)
+    sol = mesh.init_field(poly)
+
+    M = build_overlapping_schwarz(mesh, num_nodes_overlap=4, iterations=400)
+    apply = jax.jit(lambda m, v: apply_sipg(m, v))
+
+    # reference full-precision trajectory (refbuild/harness/run/schwarz.out)
+    ref = [
+        (11.029811440762897, 0.152286388792538),
+        (8.478311301990601, 0.030824293450190),
+        (2.004390543675700, 0.006973281993397),
+        (0.389316550646736, 0.001661047758643),
+        (0.076353915252118, 0.000406316495572),
+        (0.015850377445150, 0.000101033279923),
+        (0.003495337566975, 0.000025513862237),
+        (0.000810831051224, 0.000006726003428),
+        (0.000195525821702, 0.000002099298702),
+        (0.000048528414143, 0.000000952418865),
+    ]
+
+    u = jnp.zeros_like(rhs)
+    for i, (r2_ref, l2_ref) in enumerate(ref):
+        r = rhs - apply(mesh, u)
+        r2 = float(jnp.vdot(r.reshape(-1), r.reshape(-1)))
+        u = u + M(r)
+        l2 = float(jnp.sum(mesh.l2_norm_sqr(jnp.abs(sol - u))))
+        # reference values are %.15f prints: 1e-15 ABSOLUTE truncation
+        assert abs(r2 - r2_ref) < max(1e-11 * r2_ref, 2e-15), (i, r2, r2_ref)
+        assert abs(l2 - l2_ref) < max(1e-9 * l2_ref, 2e-15), (i, l2, l2_ref)
+    # the published grep digit: d4est_test_schwarz.sh greps the %.15f
+    # print for the substring "0.15228638"
+    first_l2 = ref[0][1]
+    assert "0.15228638" in f"{first_l2:.15f}"
