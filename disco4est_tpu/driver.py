@@ -163,6 +163,39 @@ def _linear_solve_fcg_mg(hier, rhs, x0):
 
 
 @jax.jit
+def _linear_solve_fcg_mg_hp(hier, rhs, x0):
+    """hp variant: the outer operator and every V-cycle level run the
+    conjugated hp apply (`d4est_solver_multigrid.c:752-1348` hp path)."""
+    from disco4est_tpu.solvers.multigrid import v_cycle
+
+    mesh = hier.meshes[0]
+
+    def M(r):
+        return v_cycle(hier, apply_sipg_hp, r, jnp.zeros_like(r))
+
+    return fcg_solve(
+        lambda v: apply_sipg_hp(mesh, v), rhs, x0=x0, M=M,
+        atol=5e-15, rtol=1e-20, max_iter=10000,
+    )
+
+
+@jax.jit
+def _linear_solve_cg_cheby_hp(mesh, rhs, x0, bounds):
+    from disco4est_tpu.solvers.cheby import cheby_smooth
+
+    def M(r):
+        return cheby_smooth(
+            lambda v: apply_sipg_hp(mesh, v), r, jnp.zeros_like(r),
+            bounds[0], bounds[1], 8,
+        )
+
+    return cg_solve(
+        lambda v: apply_sipg_hp(mesh, v), rhs, x0=x0, M=M,
+        atol=5e-15, rtol=1e-20, max_iter=10000,
+    )
+
+
+@jax.jit
 def _linear_solve_cg_cheby(mesh, rhs, x0, bounds):
     """CG with fixed-interval Chebyshev preconditioner
     (`d4est_krylov_pc_cheby` role)."""
@@ -267,11 +300,6 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                 hp=mixed,
             )
         elif pc_type == "multigrid":
-            if mixed:
-                raise NotImplementedError(
-                    "pc_type=multigrid on mixed-degree hp meshes: use "
-                    "schwarz or run p-uniform"
-                )
             from disco4est_tpu.solvers.multigrid import (
                 MGParams,
                 build_hierarchy,
@@ -279,6 +307,7 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                 v_cycle,
             )
 
+            op = apply_sipg_hp if mixed else apply_sipg
             hier = build_hierarchy(
                 mesh,
                 MGParams(
@@ -297,21 +326,20 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                 ),
             )
             mg_setup(
-                hier, apply_sipg,
+                hier, op,
                 lambda m: m.init_field(
                     lambda *c: sum(jnp.sin(3 * x) for x in c)
                 ),
             )
 
-            def M(r, _hier=hier):
-                return v_cycle(_hier, apply_sipg, r, jnp.zeros_like(r))
+            def M(r, _hier=hier, _op=op):
+                return v_cycle(_hier, _op, r, jnp.zeros_like(r))
 
         elif pc_type == "cheby":
-            if mixed:
-                raise NotImplementedError("pc_type=cheby on hp meshes")
             from disco4est_tpu.solvers.cheby import cheby_smooth
             from disco4est_tpu.solvers.eigs import cg_eigs
 
+            op = apply_sipg_hp if mixed else apply_sipg
             eigs_iters = opts.get_int(
                 "mg_smoother_cheby", "cheby_eigs_cg_imax", 10
             )
@@ -319,15 +347,15 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                 "mg_smoother_cheby", "cheby_eigs_lmax_lmin_ratio", 30.0
             )
             _, lmax = jax.jit(
-                lambda m, v, _n=eigs_iters: cg_eigs(
-                    lambda w: apply_sipg(m, w), v, _n
+                lambda m, v, _n=eigs_iters, _op=op: cg_eigs(
+                    lambda w: _op(m, w), v, _n
                 )
             )(mesh, rhs)
             cheby_bounds = jnp.asarray([float(lmax) / ratio, float(lmax)])
 
-            def M(r, _m=mesh, _b=cheby_bounds):
+            def M(r, _m=mesh, _b=cheby_bounds, _op=op):
                 return cheby_smooth(
-                    lambda v: apply_sipg(_m, v), r, jnp.zeros_like(r),
+                    lambda v: _op(_m, v), r, jnp.zeros_like(r),
                     _b[0], _b[1], 8,
                 )
 
@@ -356,9 +384,13 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                 _linear_solve_fcg_schwarz_hp if mixed else _linear_solve_fcg_schwarz
             )(mesh, rhs, x0, M)
         elif pc_type == "multigrid":
-            res = _linear_solve_fcg_mg(hier, rhs, x0)
+            res = (_linear_solve_fcg_mg_hp if mixed else _linear_solve_fcg_mg)(
+                hier, rhs, x0
+            )
         elif pc_type == "cheby":
-            res = _linear_solve_cg_cheby(mesh, rhs, x0, cheby_bounds)
+            res = (
+                _linear_solve_cg_cheby_hp if mixed else _linear_solve_cg_cheby
+            )(mesh, rhs, x0, cheby_bounds)
         else:
             res = (_linear_solve_cg_hp if mixed else solve)(mesh, rhs, x0)
         u = res.x

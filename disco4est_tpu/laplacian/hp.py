@@ -127,6 +127,15 @@ def restrict_to_own(mesh: MeshData, u_max):
     return _row_apply_axes(mats, u_max, mesh.dim)
 
 
+def adjoint_restrict_to_storage(mesh: MeshData, r_own):
+    """Rᵀ r: hp-space dual vector (padded) -> storage-degree dual — the
+    adjoint of `restrict_to_own`, used by the hp-multigrid transfers."""
+    mats = _gathered(
+        _restrict_table_np(mesh.deg), mesh, r_own.dtype, transpose=True
+    )
+    return _row_apply_axes(mats, r_own, mesh.dim)
+
+
 def own_mask(mesh: MeshData, dtype=jnp.float64):
     """[E, nl, ...]: 1 on an element's true coefficient block, 0 on the
     structural padding."""

@@ -93,7 +93,7 @@ class MGHierarchy:
     jitted cycles treat every level's factor arrays as runtime data)."""
 
     def __init__(self, meshes, maps, params: MGParams, bounds=None,
-                 smoother_state=None, nl_blocks=None):
+                 smoother_state=None, nl_blocks=None, hp=False):
         self.meshes = meshes  # fine → coarse
         self.maps = maps  # maps[i]: level i -> level i+1
         self.params = params
@@ -103,6 +103,10 @@ class MGHierarchy:
         # per-level frozen-u0 nonlinear blocks [E_l, n, n] (Newton-MG
         # matrix operator) or None
         self.nl_blocks = nl_blocks
+        # True on mixed-degree (hp) meshes: level fields are padded
+        # own-degree coefficients, transfers are conjugated with the
+        # padded p-embeddings, and `A` must be `apply_sipg_hp`
+        self.hp = hp
 
     @property
     def n_levels(self):
@@ -113,10 +117,11 @@ jax.tree_util.register_pytree_node(
     MGHierarchy,
     lambda h: (
         (h.meshes, h.maps, h.bounds, h.smoother_state, h.nl_blocks),
-        h.params,
+        (h.params, h.hp),
     ),
     lambda aux, ch: MGHierarchy(
-        ch[0], ch[1], aux, bounds=ch[2], smoother_state=ch[3], nl_blocks=ch[4]
+        ch[0], ch[1], aux[0], bounds=ch[2], smoother_state=ch[3],
+        nl_blocks=ch[4], hp=aux[1],
     ),
 )
 
@@ -151,6 +156,8 @@ def build_hierarchy(
 ) -> MGHierarchy:
     from disco4est_tpu.amr.amr import element_lineage
 
+    deg_e = np.asarray(mesh.deg_e)
+    hp = bool((deg_e != mesh.deg).any())
     meshes = [mesh]
     maps = []
     forest = mesh.forest
@@ -162,15 +169,27 @@ def build_hierarchy(
         coarse_forest = coarse_forest.balance()
         src, child, dl = element_lineage(coarse_forest, forest)
         bits = _bit_path(coarse_forest, forest, src, dl)
-        coarse_mesh = build_mesh(
-            mesh.geom, coarse_forest, mesh.deg, mesh.quad, mesh.deg_quad
-        )
+        if hp:
+            # the reference's hp rule: a coarse parent takes the MIN
+            # degree of its descendants
+            # (`d4est_solver_multigrid_callbacks.h` coarsen_init)
+            deg_c = np.full(coarse_forest.n_elements, mesh.deg, np.int64)
+            np.minimum.at(deg_c, src, deg_e)
+            coarse_mesh = build_mesh(
+                mesh.geom, coarse_forest, mesh.deg, mesh.quad,
+                mesh.deg_quad, deg_e=deg_c,
+            )
+            deg_e = deg_c
+        else:
+            coarse_mesh = build_mesh(
+                mesh.geom, coarse_forest, mesh.deg, mesh.quad, mesh.deg_quad
+            )
         maps.append(MGLevelMap(src, bits, dl == 0))
         meshes.append(coarse_mesh)
         forest = coarse_forest
         if coarse_forest.n_elements <= 1:
             break
-    return MGHierarchy(meshes, maps, params)
+    return MGHierarchy(meshes, maps, params, hp=hp)
 
 
 def _hp_mats(deg, dtype):
@@ -382,16 +401,43 @@ def v_cycle(hier: MGHierarchy, A: Callable, b, x):
         )
         return res.x
 
+    def transfer_down(level, r):
+        """residual restriction level -> level+1 (hp: conjugated with
+        the padded p-embeddings: r_c = P_cᵀ Tᵀ Rᵀ r)."""
+        lm = hier.maps[level]
+        n_c = hier.meshes[level + 1].n_elements
+        if not hier.hp:
+            return restrict(lm, r, deg, dim, n_c)
+        from disco4est_tpu.laplacian.hp import (
+            adjoint_restrict_to_storage,
+            adjoint_to_own,
+        )
+
+        s = adjoint_restrict_to_storage(hier.meshes[level], r)
+        s_c = restrict(lm, s, deg, dim, n_c)
+        return adjoint_to_own(hier.meshes[level + 1], s_c)
+
+    def transfer_up(level, e_c):
+        """coarse-correction prolongation level+1 -> level (hp: the
+        coarse hp function embeds exactly in the fine hp space under the
+        min-degree rule; e_f = R T P_c e_c)."""
+        lm = hier.maps[level]
+        if not hier.hp:
+            return prolong(lm, e_c, deg, dim)
+        from disco4est_tpu.laplacian.hp import restrict_to_own, to_max
+
+        e_s = prolong(lm, to_max(hier.meshes[level + 1], e_c), deg, dim)
+        return restrict_to_own(hier.meshes[level], e_s)
+
     def cycle(level, b_l, x_l):
         A_l = level_operator(hier, A, level)
         if level == hier.n_levels - 1:
             return bottom(level, A_l, b_l, x_l)
         x_l = smooth(level, A_l, b_l, x_l)
         r = b_l - A_l(x_l)
-        lm = hier.maps[level]
-        r_c = restrict(lm, r, deg, dim, hier.meshes[level + 1].n_elements)
+        r_c = transfer_down(level, r)
         e_c = cycle(level + 1, r_c, jnp.zeros_like(r_c))
-        x_l = x_l + prolong(lm, e_c, deg, dim)
+        x_l = x_l + transfer_up(level, e_c)
         x_l = smooth(level, A_l, b_l, x_l)
         return x_l
 
