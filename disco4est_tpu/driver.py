@@ -247,6 +247,8 @@ def run_poisson(opts: Options, problem) -> DriverResult:
     eta2_hist = []
     u = None
     sp_state = None
+    it0 = 0
+    resume_u = None
     max_degree = opts.get_int("mesh_parameters", "max_degree", deg)
     sp_params = SmoothPredParams(
         gamma_h=opts.get_float("amr", "gamma_h", 10.0),
@@ -264,8 +266,23 @@ def run_poisson(opts: Options, problem) -> DriverResult:
     deg_e = np.full(forest.n_elements, deg, np.int32)
     storage = deg
 
+    rs = _restart_state(opts, geom)
+    if rs is not None:
+        forest, it0, rfields, storage, rhist, rextra = rs
+        amr_history = [np.asarray(h) for h in rhist]
+        de = rextra.get("deg_e")
+        deg_e = (
+            np.asarray(de, np.int32)
+            if de is not None
+            else np.full(forest.n_elements, deg, np.int32)
+        )
+        pred = rextra.get("predictor")
+        if pred is not None:
+            sp_state = SmoothPredState(np.asarray(pred))
+        resume_u = jnp.asarray(rfields["u"])  # storage-degree nodal field
+
     face_h_type = face_h_from_options(opts)
-    for it in range(n_amr + 1):
+    for it in range(it0, n_amr + 1):
         mixed = bool((deg_e != storage).any())
         mesh = build_mesh(
             geom, forest, deg=storage, quad=quad, deg_quad=storage + dq_inc,
@@ -359,7 +376,18 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                     _b[0], _b[1], 8,
                 )
 
-        if ckpt.prefix and ckpt.every_n:
+        if it == it0 and resume_u is not None:
+            # restart: the checkpoint stored the POST-solve iterate of
+            # this level — skip the solve and continue the AMR loop
+            from disco4est_tpu.laplacian.hp import restrict_padded
+
+            u_max = resume_u
+            u = (
+                restrict_padded(u_max, deg_e, storage, mesh.dim)
+                if mixed
+                else u_max
+            )
+        elif ckpt.prefix and ckpt.every_n:
             # mid-solve checkpointing path: chunked Krylov with EXACT
             # state resume (`krylov_petsc.c:236-245` role).  Works with
             # every pc_type: preconditioned chunks run under flexible CG.
@@ -393,8 +421,9 @@ def run_poisson(opts: Options, problem) -> DriverResult:
             )(mesh, rhs, x0, cheby_bounds)
         else:
             res = (_linear_solve_cg_hp if mixed else solve)(mesh, rhs, x0)
-        u = res.x
-        u_max = to_max(mesh, u) if mixed else u
+        if not (it == it0 and resume_u is not None):
+            u = res.x
+            u_max = to_max(mesh, u) if mixed else u
 
         u_a = mesh.init_field(problem.analytic)
         norms.add(
@@ -415,6 +444,7 @@ def run_poisson(opts: Options, problem) -> DriverResult:
             forest, it, {"u": u_max}, storage,
             history=[np.asarray(h) for h in amr_history],
             extra={
+                "level": it,
                 "deg_e": np.asarray(deg_e).tolist(),
                 "predictor": (
                     np.asarray(sp_state.predictor).tolist()
@@ -608,6 +638,38 @@ def _vtk_maybe(opts, mesh, it, fields, cells=None):
               cell_fields=cells)
 
 
+def _restart_state(opts: Options, geom):
+    """[initial_mesh] load_from_checkpoint path (`driver.c:156-227`):
+    returns (forest, level, fields, deg, history, extra) or None.
+
+    checkpoint_type ∈ {"structure", "history"}: `structure` trusts the
+    serialized forest (P4EST_H5 analog); `history` rebuilds the initial
+    mesh and REPLAYS the saved refinement logs
+    (`d4est_checkpoint_load_mesh_from_amr_history`), validating the
+    result against the stored structural checksum."""
+    if not opts.get("initial_mesh", "load_from_checkpoint", False, cast=bool):
+        return None
+    from disco4est_tpu.io import checkpoint as ckpt
+
+    prefix = opts.get("initial_mesh", "checkpoint_prefix", required=True)
+    ctype = opts.get("initial_mesh", "checkpoint_type", "structure")
+    forest, fields, deg, history, extra = ckpt.load(prefix, geom.conn)
+    if ctype == "history":
+        level0 = opts.get_int("initial_mesh", "min_level", required=True)
+        initial = Forest.uniform(geom.conn, level0)
+        replayed = ckpt.replay_amr_history(initial, history or [])
+        if replayed.checksum() != forest.checksum():
+            raise ValueError(
+                "AMR-history replay does not reproduce the checkpointed "
+                "forest (checksum mismatch)"
+            )
+        forest = replayed
+    elif ctype != "structure":
+        raise ValueError(f"unknown checkpoint_type {ctype!r}")
+    level = int((extra or {}).get("level", 0))
+    return forest, level, fields, deg, history or [], (extra or {})
+
+
 class _Checkpointer:
     """[checkpoint] section: per-AMR-level checkpoints plus mid-solve
     checkpoints every n Krylov/Newton iterations
@@ -708,9 +770,20 @@ def run_nonlinear(opts: Options, problem) -> DriverResult:
     u = None
     sp_state = None
     amr_history = []
+    it0 = 0
+    resume_u = None
+
+    rs = _restart_state(opts, geom)
+    if rs is not None:
+        forest, it0, rfields, _rdeg, rhist, rextra = rs
+        amr_history = [np.asarray(h) for h in rhist]
+        pred = rextra.get("predictor")
+        if pred is not None:
+            sp_state = SmoothPredState(np.asarray(pred))
+        resume_u = jnp.asarray(rfields["u"])
 
     face_h_type = face_h_from_options(opts)
-    for it in range(n_amr + 1):
+    for it in range(it0, n_amr + 1):
         mesh = build_mesh(
             geom, forest, deg=deg, quad=quad, deg_quad=deg + dq_inc,
             penalty_prefactor=prefactor, penalty_fcn=penalty_fcn,
@@ -812,14 +885,28 @@ def run_nonlinear(opts: Options, problem) -> DriverResult:
             if ckpt.every_n and k % ckpt.every_n == 0:
                 ckpt.save_midsolve(_forest, _it, k, u_k, deg)
 
-        res = newton_solve(
-            lambda v: problem.residual(mesh, v, bc),
-            jac_solve,
-            u,
-            newton_params,
-            callback=newton_cb,
-        )
-        u = res.u
+        if it == it0 and resume_u is not None:
+            # restart from checkpoint: reuse the stored post-solve iterate
+            u = resume_u
+
+            class _Res:
+                iterations = 0
+                residual_norm = float(
+                    jnp.linalg.norm(
+                        problem.residual(mesh, resume_u, bc).reshape(-1)
+                    )
+                )
+
+            res = _Res()
+        else:
+            res = newton_solve(
+                lambda v: problem.residual(mesh, v, bc),
+                jac_solve,
+                u,
+                newton_params,
+                callback=newton_cb,
+            )
+            u = res.u
 
         row = {"newton_its": res.iterations, "F_norm": res.residual_norm}
         if problem.analytic is not None:
@@ -843,7 +930,15 @@ def run_nonlinear(opts: Options, problem) -> DriverResult:
         ckpt.save_level(
             forest, it, {"u": u}, deg,
             history=[np.asarray(h) for h in amr_history],
-            extra={"problem": problem.name},
+            extra={
+                "problem": problem.name,
+                "level": it,
+                "predictor": (
+                    np.asarray(sp_state.predictor).tolist()
+                    if sp_state is not None
+                    else None
+                ),
+            },
         )
 
         if it == n_amr or scheme == "none":
