@@ -86,6 +86,33 @@ _FACE_H_MAP = {
 }
 
 
+_SMOOTHER_MAP = {
+    "mg_smoother_cheby": "cheby",
+    "mg_smoother_schwarz": "schwarz_overlap",
+    "mg_smoother_none": "none",
+}
+_BOTTOM_MAP = {
+    "mg_bottom_solver_cg": "cg",
+    "mg_bottom_solver_cheby": "cheby",
+    "mg_bottom_solver_reuse_smoother": "reuse_smoother",
+}
+
+
+def mg_plugin_names(opts: Options):
+    """[multigrid] smoother/bottom plugins, accepting both our short
+    names and the reference's `smoother_name = mg_smoother_*` vocabulary
+    (`d4est_solver_multigrid.c` factories)."""
+    sm = opts.get(
+        "multigrid", "smoother_name",
+        opts.get("multigrid", "smoother", "cheby"),
+    )
+    bt = opts.get(
+        "multigrid", "bottom_solver_name",
+        opts.get("multigrid", "bottom_solver", "cg"),
+    )
+    return _SMOOTHER_MAP.get(sm, sm), _BOTTOM_MAP.get(bt, bt)
+
+
 def face_h_from_options(opts: Options) -> str:
     """[mesh_parameters] face_h_type with the reference's enum vocabulary
     (`Mesh/d4est_mesh.c:173-200`)."""
@@ -338,8 +365,8 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                         "mg_smoother_cheby", "cheby_eigs_lmax_lmin_ratio",
                         30.0,
                     ),
-                    smoother=opts.get("multigrid", "smoother", "cheby"),
-                    bottom=opts.get("multigrid", "bottom_solver", "cg"),
+                    smoother=mg_plugin_names(opts)[0],
+                    bottom=mg_plugin_names(opts)[1],
                 ),
             )
             mg_setup(
@@ -751,8 +778,8 @@ def run_nonlinear(opts: Options, problem) -> DriverResult:
         lmax_lmin_ratio=opts.get_float(
             "mg_smoother_cheby", "cheby_eigs_lmax_lmin_ratio", 30.0
         ),
-        smoother=opts.get("multigrid", "smoother", "cheby"),
-        bottom=opts.get("multigrid", "bottom_solver", "cg"),
+        smoother=mg_plugin_names(opts)[0],
+        bottom=mg_plugin_names(opts)[1],
     )
     ckpt = _Checkpointer(opts)
     sp_params = SmoothPredParams(

@@ -22,6 +22,7 @@ import numpy as np
 from disco4est_tpu.geometry.base import Geometry
 from disco4est_tpu.geometry.p8est_conn import (
     connectivity_from_p8est,
+    sphere12_hole_data,
     sphere13_data,
     sphere7_data,
 )
@@ -68,12 +69,20 @@ class CubedSphereGeometry(Geometry):
         elif kind == "7tree":
             t2t, t2f, verts = sphere7_data()
             self.n_outer = 0
+        elif kind == "12tree_hole":
+            # sphere with a spherical excision hole at r = R0: 6 outer
+            # (R1→R2, compactifiable) + 6 inner (R0→R1) pure-angular
+            # shells, no core (BoyenYorkModel's domain,
+            # `cubed_sphere_with_sphere_hole`)
+            t2t, t2f, verts = sphere12_hole_data()
+            self.n_outer = 6
         else:
             raise ValueError(kind)
         self.conn = connectivity_from_p8est(t2t, t2f)
         self.verts = verts  # [T, 8, 3] vertex-space boxes
         self.n_trees_total = verts.shape[0]
-        self.core_tree = self.n_trees_total - 1
+        # no core tree on the holed sphere (tree == core_tree never true)
+        self.core_tree = -1 if kind == "12tree_hole" else self.n_trees_total - 1
 
     def _key(self):
         return (
@@ -142,6 +151,13 @@ class CubedSphereGeometry(Geometry):
         q_in = R_in / jnp.sqrt(
             1.0 + (1.0 - p) * (tanx**2 + tany**2) + 2.0 * p
         )
+
+        if self.kind == "12tree_hole":
+            # holed sphere: the INNER shells are pure angular too (the
+            # excision surface r = R0 is a sphere, not a cube)
+            R_in2 = self.R0 * (2.0 - c) + self.R1 * (c - 1.0)
+            x_in, y_in = tanx, tany
+            q_in = R_in2 / jnp.sqrt(tanx**2 + tany**2 + 1.0)
 
         if self.n_outer:
             is_outer = tree < 6

@@ -210,3 +210,21 @@ def sphere7_data():
     )
     verts = np.stack([_SHELL_VERTS] * 6 + [_CUBE_VERTS])  # [7, 8, 3]
     return tree_to_tree, tree_to_face, verts
+
+
+def sphere12_hole_data():
+    """12-tree cubed sphere WITH SPHERE HOLE: the 13-tree connectivity
+    minus the core cube — the inner-shell trees' face 4 (the face that
+    connected to the core) becomes a physical boundary at the excision
+    sphere r = R0.  Role of the reference's
+    `d4est_geometry_sphere_with_cube_hole` family
+    (`Geometry/d4est_geometry_sphere_with_cube_hole.c`), with the hole
+    surface spherical (pure angular inner map) as BoyenYorkModel's
+    `cubed_sphere_with_sphere_hole` domain requires."""
+    t2t, t2f, verts = sphere13_data()
+    t2t = t2t[:12].copy()
+    t2f = t2f[:12].copy()
+    for t in range(6, 12):
+        t2t[t, 4] = t  # boundary: self-connection, same face
+        t2f[t, 4] = 4
+    return t2t, t2f, verts[:12]

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from disco4est_tpu.mesh.builder import MeshData
+from disco4est_tpu.mesh.builder import MeshData, vol_interp, vol_weights
 from disco4est_tpu.ops import tensor
 
 
@@ -35,12 +35,12 @@ def apply_mass_fof(mesh: MeshData, u, fof):
     at the quadrature points (`apply_fofufofvlj` semantics).
     """
     dtype = u.dtype
-    Vq, w = _quad_setup(mesh, dtype)
-    u_q = tensor.apply_iso(Vq, u, mesh.dim)
+    w = vol_weights(mesh, dtype)
+    u_q = vol_interp(mesh, u)
     xyz = tuple(mesh.xyz_quad[:, d].astype(dtype) for d in range(mesh.dim))
     f_q = fof(xyz, u_q)
-    return tensor.apply_iso(
-        Vq.T, w * mesh.j_quad.astype(dtype) * f_q, mesh.dim
+    return vol_interp(
+        mesh, w * mesh.j_quad.astype(dtype) * f_q, transpose=True
     )
 
 
@@ -48,13 +48,13 @@ def apply_mass_fof_lin(mesh: MeshData, u0, v, dfof):
     """Vᵀ W J f'(x_q, u0_q) ⊙ v_q: the frozen-u0 Jacobian term
     (`apply_fofufofvlilj` semantics)."""
     dtype = v.dtype
-    Vq, w = _quad_setup(mesh, dtype)
-    u0_q = tensor.apply_iso(Vq, u0, mesh.dim)
-    v_q = tensor.apply_iso(Vq, v, mesh.dim)
+    w = vol_weights(mesh, dtype)
+    u0_q = vol_interp(mesh, u0)
+    v_q = vol_interp(mesh, v)
     xyz = tuple(mesh.xyz_quad[:, d].astype(dtype) for d in range(mesh.dim))
     c_q = dfof(xyz, u0_q)
-    return tensor.apply_iso(
-        Vq.T, w * mesh.j_quad.astype(dtype) * c_q * v_q, mesh.dim
+    return vol_interp(
+        mesh, w * mesh.j_quad.astype(dtype) * c_q * v_q, transpose=True
     )
 
 

@@ -181,7 +181,11 @@ def apply_sipg(
     # Compact affine factors replace the [E, dim, dim, nq^dim] wjgg array
     # with [E, dim, dim] constants — ~nq^dim less HBM traffic.
     if volume_mode == "auto":
-        volume_mode = "dense" if (deg <= 4 and dim == 3) else "tensor"
+        volume_mode = (
+            "dense"
+            if (deg <= 4 and dim == 3 and mesh.rad_interp is None)
+            else "tensor"
+        )
     w3 = tensor.tensor_weights([wq1] * dim, dtype=dtype)
     if volume_mode == "dense":
         Gs = _dense_grad_ops(deg, deg_quad, mesh.quad, dim, dtype)
@@ -198,7 +202,9 @@ def apply_sipg(
             s_flat = jnp.einsum("elq,elq->eq", wjgg_flat[:, lp], t_flat)
             Au = Au + (s_flat @ Gs[lp].T).reshape(u.shape)
     else:
-        t = [tensor.apply_iso(Vq, dudr[l], dim) for l in range(dim)]
+        from disco4est_tpu.mesh.builder import vol_interp
+
+        t = [vol_interp(mesh, dudr[l]) for l in range(dim)]
         Au = jnp.zeros_like(u)
         cshape = (E,) + (1,) * dim
         for lp in range(dim):
@@ -209,7 +215,7 @@ def apply_sipg(
                     s = s + c * (w3 * t[l])
                 else:
                     s = s + mesh.wjgg[:, lp, l].astype(dtype) * t[l]
-            s = tensor.apply_iso(Vq.T, s, dim)
+            s = vol_interp(mesh, s, transpose=True)
             Au = Au + tensor.apply_axis(D.T, s, lp)
 
     # ---- face sweep (single fused batch over [E, 2d]) -------------------
@@ -557,13 +563,12 @@ def apply_mass(mesh: MeshData, v, on_quad: bool = False):
     """M v: nodal mass apply via quadrature (`d4est_quadrature_apply_mass_
     matrix` / `apply_galerkin_integral`). If `on_quad`, v is given at
     quadrature points and only Vᵀ(wJ·v) is applied."""
-    dim, deg, deg_quad = mesh.dim, mesh.deg, mesh.deg_quad
+    from disco4est_tpu.mesh.builder import vol_interp, vol_weights
+
     dtype = v.dtype
-    Vq = jnp.asarray(mesh.quad.interp(deg, deg_quad), dtype)
-    _, wq1 = mesh.quad.nodes_weights(deg_quad)
-    w = tensor.tensor_weights([wq1] * dim, dtype=dtype)
-    v_q = v if on_quad else tensor.apply_iso(Vq, v, dim)
-    return tensor.apply_iso(Vq.T, w * mesh.j_at_quad(dtype) * v_q, dim)
+    w = vol_weights(mesh, dtype)
+    v_q = v if on_quad else vol_interp(mesh, v)
+    return vol_interp(mesh, w * mesh.j_at_quad(dtype) * v_q, transpose=True)
 
 
 @jax.jit

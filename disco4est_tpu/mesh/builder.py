@@ -142,6 +142,15 @@ class MeshData:
     # the scalar penalty modes.
     hc_sigma_q: jnp.ndarray | None = None
 
+    # --- per-element radial quadrature (compactified shells) ------------
+    # Role of `d4est_quadrature_compactified.c`: on compactified outer
+    # shells the VOLUME quadrature uses a per-element Gaussian rule for
+    # the rational radial weight; rad_interp is the Lobatto→custom-points
+    # interpolation per element, rad_w the custom weights (plain Gauss
+    # rows on non-shell elements).  None on ordinary meshes.
+    rad_interp: jnp.ndarray | None = None  # [E, nq, nl]
+    rad_w: jnp.ndarray | None = None  # [E, nq]
+
     # --- compact affine factors (None for curved geometries) ------------
     # Affine tree maps have constant Jacobians, so one value per element
     # replaces one per quadrature point — ~nq^dim less HBM traffic on the
@@ -261,12 +270,44 @@ def _boundary_values_quad(mesh: "MeshData", fcn):
     return fcn(*coords)
 
 
+def vol_interp(mesh: "MeshData", v, transpose: bool = False):
+    """Interpolate a volume field to (or Galerkin-transpose from) the
+    volume quadrature points, honoring a per-element radial rule
+    (`rad_interp`) when present."""
+    dtype = v.dtype
+    Vq = jnp.asarray(mesh.quad.interp(mesh.deg, mesh.deg_quad), dtype)
+    A = Vq.T if transpose else Vq
+    if mesh.rad_interp is None:
+        return tensor.apply_iso(A, v, mesh.dim)
+    for d in range(mesh.dim - 1):  # tangential dirs 0..dim-2 shared
+        v = tensor.apply_axis(A, v, d)
+    R = mesh.rad_interp.astype(dtype)
+    if transpose:
+        R = jnp.swapaxes(R, -1, -2)
+    ax = v.ndim - 1 - (mesh.dim - 1)  # radial = direction dim-1
+    vm = jnp.moveaxis(v, ax, -1)
+    vm = jnp.einsum("eab,e...b->e...a", R, vm)
+    return jnp.moveaxis(vm, -1, ax)
+
+
+def vol_weights(mesh: "MeshData", dtype):
+    """Tensor volume quadrature weights: shared [nq]*dim grid, or
+    per-element [E, nq...] when a radial rule is present."""
+    _, w1 = mesh.quad.nodes_weights(mesh.deg_quad)
+    w = tensor.tensor_weights([w1] * mesh.dim, dtype=dtype)
+    if mesh.rad_w is None:
+        return w
+    # replace the radial (slowest) axis weights with the per-element rule
+    w_t = tensor.tensor_weights([w1] * (mesh.dim - 1), dtype=dtype)
+    rad = mesh.rad_w.astype(dtype)  # [E, nq]
+    shape = (rad.shape[0], rad.shape[1]) + (1,) * (mesh.dim - 1)
+    return rad.reshape(shape) * w_t[None, None]
+
+
 @jax.jit
 def _l2_norm_sqr(mesh: "MeshData", u):
-    Vq = mesh.quad.interp(mesh.deg, mesh.deg_quad)
-    _, w1 = mesh.quad.nodes_weights(mesh.deg_quad)
-    u_q = tensor.apply_iso(Vq, u, mesh.dim)
-    w = tensor.tensor_weights([w1] * mesh.dim, dtype=u.dtype)
+    u_q = vol_interp(mesh, u)
+    w = vol_weights(mesh, u.dtype)
     # j_at_quad broadcasts the compact constant on store_full=False meshes
     integrand = w * mesh.j_at_quad(u.dtype) * u_q * u_q
     return jnp.sum(integrand.reshape(u.shape[0], -1), axis=1)
@@ -287,6 +328,18 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _lagrange_matrix(xs: np.ndarray, xq: np.ndarray) -> np.ndarray:
+    """[len(xq), len(xs)]: Lagrange basis on nodes xs evaluated at xq."""
+    xs = np.asarray(xs, np.float64)
+    xq = np.asarray(xq, np.float64)
+    V = np.ones((len(xq), len(xs)))
+    for l in range(len(xs)):
+        for m in range(len(xs)):
+            if m != l:
+                V[:, l] *= (xq - xs[m]) / (xs[l] - xs[m])
+    return V
+
+
 def build_mesh(
     geom: Geometry,
     forest: Forest,
@@ -298,6 +351,7 @@ def build_mesh(
     deg_e: np.ndarray | None = None,
     store_full: bool = True,
     face_h_type: str = "volume_div_area",
+    compactified_k: int | None = None,
 ) -> MeshData:
     """`deg_e` (optional [E] int): true per-element degrees for hp meshes.
     Storage stays at `deg` (must be >= max(deg_e)); penalties use the true
@@ -532,6 +586,56 @@ def build_mesh(
         sorted(int(c) for c in np.unique(conf_codes) if c != 0)
     )
 
+    # --- per-element compactified radial quadrature ----------------------
+    # (`d4est_quadrature_compactified.c` role, volume path: the radial
+    # direction of compactified OUTER SHELL elements gets a per-element
+    # Gaussian rule for the rational weight (c1+c2·t)^{-k}; the factor
+    # arrays below are rebuilt at those points and `rad_interp`/`rad_w`
+    # drive the volume applies.  Face/mortar quadrature stays Gauss.)
+    rad = {}
+    if compactified_k is not None:
+        from disco4est_tpu.quadrature.compactified import rule as _cq_rule
+        from disco4est_tpu.quadrature.compactified import shell_c1_c2
+
+        if not store_full:
+            raise ValueError("compactified_k requires store_full=True")
+        n_outer = int(getattr(geom, "n_outer", 0))
+        if not (n_outer and getattr(geom, "compactify_outer", False)):
+            raise ValueError(
+                "compactified_k needs a compactified outer-shell geometry"
+            )
+        xg, wg = quad.nodes_weights(deg_quad)
+        xl_nodes = DB.ops(deg).lobatto_nodes
+        rad_t_np = np.tile(np.asarray(xg), (E, 1))
+        rad_w_np = np.tile(np.asarray(wg), (E, 1))
+        verts = np.asarray(geom.verts)
+        for e in range(E):
+            t = int(forest.tree[e])
+            if t >= n_outer:
+                continue
+            c0 = float(verts[t, 0, 2])
+            c1v = float(verts[t, 4, 2])
+            frac = forest.anchor[e, 2] / ROOT
+            hfrac_e = 2.0 ** -float(forest.level[e])
+            cmin = c0 + frac * (c1v - c0)
+            cmax = c0 + (frac + hfrac_e) * (c1v - c0)
+            cc1, cc2 = shell_c1_c2(cmin, cmax, geom.R1, geom.R2)
+            t_e, w_e = _cq_rule(cc1, cc2, int(compactified_k), nq)
+            rad_t_np[e] = t_e
+            rad_w_np[e] = w_e
+        rad_interp_np = np.stack(
+            [_lagrange_matrix(xl_nodes, rad_t_np[e]) for e in range(E)]
+        )
+        rad = dict(
+            rad_interp=jnp.asarray(rad_interp_np),
+            rad_w=jnp.asarray(rad_w_np),
+        )
+        pe = _compute_vol_factors_perelem(
+            geom, dim, quad, deg_quad, tree, anchor, hfrac,
+            jnp.asarray(rad_t_np), jnp.asarray(rad_w_np),
+        )
+        fac.update(pe)
+
     # --- pointwise penalty for FACE_H_EQ_J_DIV_SJ_QUAD -------------------
     # h(x) = J/sj at each face quadrature point; the neighbor's h is
     # gathered and point-aligned with perm_q so min(h_m, h_p) is evaluated
@@ -587,6 +691,7 @@ def build_mesh(
     fac.pop("face_h_lob", None)
 
     return MeshData(
+        **rad,
         sigma_q=sigma_q,
         dim=dim,
         deg=deg,
@@ -784,6 +889,45 @@ def _compute_affine_factors(
         area=area,
         face_h=face_h,
         sigma=sigma,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _compute_vol_factors_perelem(
+    geom, dim, quad, deg_quad, tree, anchor, hfrac, rad_t, rad_w
+):
+    """Volume factor arrays evaluated at PER-ELEMENT quadrature grids:
+    tangential directions on the shared Gauss nodes, the radial
+    direction (tree axis dim-1) on each element's custom abscissas, with
+    the custom weights baked into wjgg exactly as the shared path bakes
+    w⊗w⊗w (`d4est_quadrature_compactified_setup_storage` role)."""
+    xq, wq = quad.nodes_weights(deg_quad)
+    gx = jnp.asarray(xq)
+    wt = tensor.tensor_weights([wq] * (dim - 1))  # tangential weights
+
+    def one(t, a, h, rt, rw):
+        if dim == 3:
+            Z, Y, X = jnp.meshgrid(rt, gx, gx, indexing="ij")
+            pts = jnp.stack([X, Y, Z], axis=-1)
+        else:
+            Z, X = jnp.meshgrid(rt, gx, indexing="ij")
+            pts = jnp.stack([X, Z], axis=-1)
+        rst_tree = a + (pts + 1.0) * 0.5 * h
+        dx = geom.dx(t, rst_tree) * (0.5 * h)
+        J = _det(dx)
+        drdx = _inv(dx, J)
+        xyz = geom.x(t, rst_tree)
+        w3 = rw.reshape((-1,) + (1,) * (dim - 1)) * wt[None]
+        gg = jnp.einsum("...lk,...mk->...lm", drdx, drdx)
+        wjgg = (w3 * J)[..., None, None] * gg
+        return xyz, J, wjgg
+
+    xyz, J, wjgg = jax.vmap(one)(tree, anchor, hfrac, rad_t, rad_w)
+    wjgg = jnp.moveaxis(jnp.moveaxis(wjgg, -1, 1), -1, 1)
+    return dict(
+        xyz_quad=jnp.moveaxis(xyz, -1, 1),
+        j_quad=J,
+        wjgg=wjgg,
     )
 
 

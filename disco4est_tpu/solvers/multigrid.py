@@ -49,12 +49,18 @@ class MGParams:
     vcycle_atol: float = 0.0
     # plugin selection (the reference's smoother/bottom factories,
     # `d4est_solver_multigrid.c:1509-1603`):
-    #   smoother ∈ {"cheby", "schwarz", "none"}
+    #   smoother ∈ {"cheby", "schwarz", "schwarz_overlap", "none"}
+    #     "schwarz" = zero-overlap element-block Jacobi;
+    #     "schwarz_overlap" = the reference's overlapping vertex-patch
+    #     Schwarz as MG smoother (`_smoother_schwarz.c:89`:
+    #     schwarz_iterate per smoothing step, no damping)
     #   bottom   ∈ {"cg", "cheby", "reuse_smoother"}
     smoother: str = "cheby"
     bottom: str = "cg"
     schwarz_iterations: int = 3
     schwarz_damping: float = 2.0 / 3.0
+    schwarz_overlap_nodes: int = 2
+    schwarz_subdomain_iters: int = 15
 
 
 class MGLevelMap:
@@ -344,6 +350,22 @@ def mg_setup(hier: MGHierarchy, A: Callable, seed_field):
         else:
             bounds.append((0.0, 1.0))
     hier.bounds = jnp.asarray(bounds)
+    if p.smoother == "schwarz_overlap":
+        # the reference's overlapping Schwarz as MG smoother
+        # (`d4est_solver_multigrid_smoother_schwarz_set_apply_lhs`:
+        # one schwarz instance per level)
+        from disco4est_tpu.solvers.schwarz_overlap import (
+            build_overlapping_schwarz,
+        )
+
+        hier.smoother_state = [
+            build_overlapping_schwarz(
+                m,
+                num_nodes_overlap=p.schwarz_overlap_nodes,
+                iterations=p.schwarz_subdomain_iters,
+            )
+            for m in hier.meshes
+        ]
     if p.smoother == "schwarz":
         # block-Schwarz smoother: exact element-diagonal blocks of the
         # base SIPG operator (+ the level's nonlinear blocks, which are
@@ -377,6 +399,15 @@ def v_cycle(hier: MGHierarchy, A: Callable, b, x):
     def smooth(level, A_l, b_l, x_l):
         if p.smoother == "none":
             return x_l
+        if p.smoother == "schwarz_overlap":
+            from disco4est_tpu.solvers.schwarz_overlap import (
+                overlap_schwarz_smooth,
+            )
+
+            return overlap_schwarz_smooth(
+                A_l, hier.smoother_state[level], b_l, x_l,
+                iterations=p.schwarz_iterations, damping=1.0,
+            )
         if p.smoother == "schwarz":
             from disco4est_tpu.solvers.schwarz import schwarz_smooth
 

@@ -35,16 +35,39 @@ done
 ar rcs $OUT/$LIBNAME $OBJS
 echo "core: fails=$fails objs=$(echo $OBJS | wc -w)"
 LIBS="$OUT/$LIBNAME -L$INST/lib -lp4est -lsc -lzlog -l:liblapack.so.3 -l:libblas.so.3 -lz -lm -lpthread"
+
+# The reference's d4est_quadrature_compactified.c is bit-rotted against
+# the current geometry/mortar APIs (not even in the reference CMake
+# build).  For the compactified-rule ORACLE we machine-extract just the
+# self-contained c1tpc2 rule functions (lines 1031-1674: aa_and_bb,
+# moment, weight fns) into a generated TU under refbuild (gitignored).
+gen_compactified() {
+  GEN=$OUT/gen_compactified_fns.c
+  {
+    echo '/* MACHINE-GENERATED from /root/reference/src/Quadrature/'
+    echo '   d4est_quadrature_compactified.c lines 1031-1674 by build.sh'
+    echo '   (refcheck oracle only; see compactified_rule_probe.c) */'
+    echo '#include <math.h>'
+    echo '#include <stdio.h>'
+    echo '#include <stdlib.h>'
+    echo '#define D4EST_ABORT(s) do { printf("%s\n", s); abort(); } while (0)'
+    echo 'typedef struct { long double c1; long double c2; } d4est_quadrature_compactified_params_t;'
+    sed -n '1031,1674p' /root/reference/src/Quadrature/d4est_quadrature_compactified.c
+  } > $GEN
+  gcc -c -O2 -g $GEN -o $OUT/$OBJDIR/gen_compactified_fns.o
+}
 for h in "$@"; do
   name=$(basename $h .c)
   extra_inc=""
+  extra_obj=""
   case $name in
     poisson_sinx*|*lorentzian*) extra_inc="-I$REF/Problems/Poisson";;
     stamm*) extra_inc="-I$REF/Problems/Stamm";;
     *cds*|*constant*) extra_inc="-I$REF/Problems/ConstantDensityStar";;
     *punctur*) extra_inc="-I$REF/Problems/TwoPunctures";;
     *schwarz*) extra_inc="-I$REF/Tests/Unit";;
+    compactified_rule*) gen_compactified; extra_obj="$OUT/$OBJDIR/gen_compactified_fns.o";;
   esac
-  gcc -O2 -g $DEFS $INC $extra_inc -Wno-implicit-function-declaration $HERE/$h $LIBS -o $OUT/$name && echo "built $name"
+  gcc -O2 -g $DEFS $INC $extra_inc -Wno-implicit-function-declaration $HERE/$h $extra_obj $LIBS -o $OUT/$name && echo "built $name"
 done
 cp -n /root/reference/src/IO/logging.conf $OUT/run/ 2>/dev/null || true

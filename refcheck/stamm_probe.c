@@ -34,7 +34,7 @@ int main(int argc, char *argv[]) {
       d4est_geometry_new(0, (char *)input_file, "geometry", c_geom);
   d4est_mesh_initial_extents_t *init_ext =
       d4est_mesh_initial_extents_parse((char *)input_file, d4est_geom);
-  d4est_operators_t *d4est_ops = d4est_ops_init(init_ext->max_degree);
+  d4est_operators_t *d4est_ops = d4est_ops_init(init_ext->max_degree + 2);
 
   p4est_t *p4est = p4est_new_ext(
       mpicomm, d4est_geom->p4est_conn, init_ext->min_quadrants,
