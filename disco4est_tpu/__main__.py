@@ -11,7 +11,18 @@ optional per-level VTK (`[d4est_vtk] filename`) and checkpointing
 (`[checkpoint] prefix`, `checkpoint_every_n_krylov_its`).
 """
 
+import os
 import sys
+
+# honor JAX_PLATFORMS strictly: some environments pre-register extra
+# backends (e.g. the axon TPU tunnel) that would otherwise win over the
+# env var; the config update is authoritative.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_platforms", os.environ["JAX_PLATFORMS"].split(",")[0]
+    )
 
 from disco4est_tpu.driver import (
     run_poisson,
@@ -53,15 +64,52 @@ def _stamm(opts):
 LINEAR_PROBLEMS["stamm"] = _stamm
 
 
+def plot_checkpoint(opts: Options, ck_path: str, out_path: str) -> int:
+    """Checkpoint-to-VTK plotter (the reference's CheckpointAMRPlotter
+    problem family: rebuild the mesh from a checkpoint and write every
+    stored nodal field to a .vtu, no solve)."""
+    import numpy as np
+
+    from disco4est_tpu.driver import geometry_from_options
+    from disco4est_tpu.io import checkpoint as ckpt
+    from disco4est_tpu.io.vtk import write_vtu
+    from disco4est_tpu.mesh.builder import build_mesh
+
+    geom = geometry_from_options(opts)
+    forest, fields, deg, history, extra = ckpt.load(ck_path, geom.conn)
+    mesh = build_mesh(geom, forest, deg=deg)
+    cells = {"level": forest.level.astype(np.int32)}
+    de = (extra or {}).get("deg_e")
+    if de is not None:
+        cells["deg"] = np.asarray(de, np.int32)
+    write_vtu(out_path, mesh, point_fields=fields, cell_fields=cells)
+    print(
+        f"wrote {out_path}: {forest.n_elements} elements, "
+        f"fields {sorted(fields)}"
+    )
+    return 0
+
+
 def main(argv):
     if not argv:
-        print("usage: python -m disco4est_tpu options.input [--problem=sinx]")
+        print(
+            "usage: python -m disco4est_tpu options.input [--problem=sinx]"
+            " [--plot-checkpoint=ck.npz [--output=out.vtu]]"
+        )
         return 1
     opts = Options.load(argv[0])
     name = opts.get("problem", "name", "sinx")
+    ck = None
+    out = "checkpoint.vtu"
     for a in argv[1:]:
         if a.startswith("--problem="):
             name = a.split("=", 1)[1]
+        elif a.startswith("--plot-checkpoint="):
+            ck = a.split("=", 1)[1]
+        elif a.startswith("--output="):
+            out = a.split("=", 1)[1]
+    if ck is not None:
+        return plot_checkpoint(opts, ck, out)
 
     if name in NONLINEAR_PROBLEMS:
         problem = NONLINEAR_PROBLEMS[name](opts)
