@@ -31,9 +31,20 @@ def element_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("e",))
 
 def shard_field(u, dev_mesh: Mesh):
-    """Shard an element-major field [E, ...] over the "e" axis."""
+    """Shard an element-major field [E, ...] over the "e" axis.
+
+    Multi-host aware: under multi-controller jax (process_count > 1) the
+    global array is assembled from each process's addressable shards of
+    the HOST-replicated data (every process builds the same mesh epoch
+    deterministically — the reference's replicated p4est metadata)."""
     spec = P("e", *([None] * (u.ndim - 1)))
-    return jax.device_put(u, NamedSharding(dev_mesh, spec))
+    sh = NamedSharding(dev_mesh, spec)
+    if jax.process_count() > 1:
+        host = np.asarray(u)
+        return jax.make_array_from_callback(
+            host.shape, sh, lambda idx: host[idx]
+        )
+    return jax.device_put(u, sh)
 
 
 def shard_mesh_data(mesh: MeshData, dev_mesh: Mesh) -> MeshData:
