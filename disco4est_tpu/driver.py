@@ -223,6 +223,27 @@ def _linear_solve_cg_cheby_hp(mesh, rhs, x0, bounds):
 
 
 @jax.jit
+def _linear_solve_mixed(mesh, mesh32, rhs, x0):
+    """Mixed-precision iterative refinement as THE production f64 solve
+    (`solvers/mixed.py`): outer residual/correction in f64 (one f64
+    apply per outer step), inner CG in f32 on an f32-cast mesh epoch —
+    the MXU-native path whose digits the f64 regression tests certify.
+    """
+    from disco4est_tpu.solvers.mixed import mixed_refine_solve
+
+    def A64(v):
+        return apply_sipg(mesh, v)
+
+    def A32(v):
+        return apply_sipg(mesh32, v)
+
+    return mixed_refine_solve(
+        A64, rhs, x0=x0, A32=A32, atol=5e-15, rtol=1e-20,
+        inner_rtol=1e-6, inner_max_iter=20000, max_outer=60,
+    )
+
+
+@jax.jit
 def _linear_solve_cg_cheby(mesh, rhs, x0, bounds):
     """CG with fixed-interval Chebyshev preconditioner
     (`d4est_krylov_pc_cheby` role)."""
@@ -287,6 +308,12 @@ def run_poisson(opts: Options, problem) -> DriverResult:
     )
 
     solve = _linear_solve_fcg if ksp == "fcg" else _linear_solve_cg
+    # mixed-precision refinement is the DEFAULT unpreconditioned f64
+    # solve (opt out with use_mixed_precision = 0): f32 is the inner
+    # dtype of the shipped solver, f64 the user-facing contract
+    use_mixed = opts.get(
+        "d4est_solver_krylov_petsc", "use_mixed_precision", True, cast=bool
+    )
 
     # hp state: per-element degrees + storage degree (grows as smooth_pred
     # p-refines; uniform schemes keep deg_e ≡ deg and use the plain path).
@@ -446,8 +473,15 @@ def run_poisson(opts: Options, problem) -> DriverResult:
             res = (
                 _linear_solve_cg_cheby_hp if mixed else _linear_solve_cg_cheby
             )(mesh, rhs, x0, cheby_bounds)
+        elif mixed:
+            res = _linear_solve_cg_hp(mesh, rhs, x0)
+        elif use_mixed:
+            from disco4est_tpu.solvers.mixed import mesh_astype
+
+            mesh32 = mesh_astype(mesh, jnp.float32)
+            res = _linear_solve_mixed(mesh, mesh32, rhs, x0)
         else:
-            res = (_linear_solve_cg_hp if mixed else solve)(mesh, rhs, x0)
+            res = solve(mesh, rhs, x0)
         if not (it == it0 and resume_u is not None):
             u = res.x
             u_max = to_max(mesh, u) if mixed else u
