@@ -35,6 +35,12 @@ class SmoothPredParams:
     percentile: float = 25.0  # mark the top X percent ([amr] sigma-style)
     max_degree: int = 7
     initial_pred: float = 0.0
+    # marker rule: "percentile" (CDS/TwoPunctures style: η² ≥ value at
+    # percentile, with the reference's tie epsilon) or "mean" (Stamm's
+    # `amr_mark_element`: η² ≥ sigma·mean(η²),
+    # `stamm_multigrid_pc.c:35-50`)
+    marker: str = "percentile"
+    sigma: float = 0.25  # [amr] sigma for the mean marker
 
 
 @dataclasses.dataclass
@@ -63,9 +69,12 @@ def smooth_pred_mark(
     eta2 = np.asarray(eta2)
     E = len(eta2)
     deg_arr = np.full(E, deg) if np.isscalar(deg) else np.asarray(deg)
-    stats = estimator_stats(eta2)
-    thresh = float(percentile(stats, params.percentile))
-    marked = (eta2 >= thresh) | (np.abs(eta2 - thresh) < eta2 * 1e-4)
+    if params.marker == "mean":
+        marked = eta2 >= params.sigma * eta2.mean()
+    else:
+        stats = estimator_stats(eta2)
+        thresh = float(percentile(stats, params.percentile))
+        marked = (eta2 >= thresh) | (np.abs(eta2 - thresh) < eta2 * 1e-4)
 
     pred = state.predictor.copy()
     log = deg_arr.astype(np.int64).copy()  # default: no-op
