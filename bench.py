@@ -459,9 +459,9 @@ def main():
     for name, fn in (
         ("adapted", lambda: bench_adapted(
             3 if on_tpu else 2, 4, dtype, peak, bw)),
-        ("hp", lambda: bench_hp(3 if on_tpu else 1, 7, dtype, peak, bw)),
+        ("hp", lambda: bench_hp(4 if on_tpu else 1, 7, dtype, peak, bw)),
         ("sphere", lambda: bench_sphere(
-            2 if on_tpu else 1, 4, dtype, peak, bw)),
+            3 if on_tpu else 1, 4, dtype, peak, bw)),
         ("schwarz_memory", lambda: bench_schwarz_memory(
             3 if on_tpu else 2)),
     ):

@@ -180,11 +180,32 @@ def fast_path_available(mesh: MeshData, neighbors: str, robin) -> bool:
     return (
         mesh.affine
         and mesh.wjgg_c is not None
-        and mesh.hc_elem.shape[0] == 0
+        # hanging meshes ride the fast conforming bulk + the mortar pass
+        # (needs the full face factor arrays for the fine sides)
+        and (mesh.hc_elem.shape[0] == 0 or mesh.face_drst is not None)
         and neighbors == "full"
         and robin is None
         and mesh.sigma_q is None  # fast paths assume per-face scalar sigma
     )
+
+
+def _add_hanging(mesh: MeshData, Au, u_vol, dtype):
+    """Mortar contributions on top of the conf-masked fast bulk — the
+    adapted-mesh half of the fast path (VERDICT r3 #4: perf where the
+    product lives).  Reuses the general mortar kernels."""
+    from disco4est_tpu.laplacian import sipg as _sipg
+
+    dim, deg = mesh.dim, mesh.deg
+    D1 = jnp.asarray(DB.ops(deg).diff, dtype)
+    Vq = jnp.asarray(mesh.quad.interp(deg, mesh.deg_quad), dtype)
+    _, wq1 = mesh.quad.nodes_weights(mesh.deg_quad)
+    wf = tensor.tensor_weights([wq1] * (dim - 1), dtype=dtype)
+    dudr = [tensor.apply_axis(D1, u_vol, l) for l in range(dim)]
+    u_f = _sipg._face_slices(u_vol, dim)
+    dudr_f = jnp.stack(
+        [_sipg._face_slices(dudr[l], dim) for l in range(dim)], axis=2
+    )
+    return Au + _sipg._apply_hanging(mesh, u_f, dudr_f, Vq, wf, D1, dtype)
 
 
 def apply_sipg_fast(mesh: MeshData, u, g=None):
@@ -273,11 +294,21 @@ def _apply_orth(mesh: MeshData, u, g=None, _upto: str = "full"):
     mj = (jump.reshape(-1, nfl) @ Mf).reshape(E, nfaces, nfl)
     s2n = (-0.5) * c2 * sj * mj * drstn_n[..., None]
 
+    hanging = mesh.hc_elem.shape[0] > 0
+    if hanging:
+        # hanging faces are handled by the mortar pass below
+        cm = mesh.conf_mask[..., None].astype(dtype)
+        t13 = t13 * cm
+        s2n = s2n * cm
+
     Z = jnp.concatenate(
         [t13.reshape(E, nfaces * nfl), s2n.reshape(E, nfaces * nfl)], axis=1
     )
     Au = Au + Z @ W_lift
-    return Au.reshape(u.shape)
+    Au = Au.reshape(u.shape)
+    if hanging:
+        Au = _add_hanging(mesh, Au, u.reshape((E,) + (nl,) * dim), dtype)
+    return Au
 
 
 def _apply_general(mesh: MeshData, u, g=None):
@@ -365,6 +396,12 @@ def _apply_general(mesh: MeshData, u, g=None):
     mj = (jump.reshape(-1, nfl) @ Mf).reshape(E, nfaces, nfl)
     s2 = (-0.5) * c2 * sj * mj  # [E, 2d, nfl]
 
+    hanging = mesh.hc_elem.shape[0] > 0
+    if hanging:
+        cm = mesh.conf_mask[..., None].astype(dtype)
+        t13m = t13m * cm
+        s2 = s2 * cm
+
     # ---- lift back to the volume -----------------------------------------
     Au = Au.reshape((E,) + (nl,) * dim)
     t13m = t13m.reshape((E, nfaces) + fshape_l)
@@ -388,4 +425,6 @@ def _apply_general(mesh: MeshData, u, g=None):
         col_shape[axis] = nl
         Au = Au + jnp.expand_dims(vt2_n, axis) * dcol.reshape(col_shape)
 
+    if hanging:
+        Au = _add_hanging(mesh, Au, u.reshape((E,) + (nl,) * dim), dtype)
     return Au
