@@ -273,7 +273,11 @@ def bench_adapted(level, deg, dtype, peak, bw, inner=64):
     pos = (forest.anchor + (ROOT >> forest.level.astype(np.int32))[:, None] // 2) / ROOT
     flags = np.linalg.norm(pos - ctr, axis=1) < 0.25
     forest = forest.refine(flags).balance()
-    mesh = to_dtype(build_mesh(geom, forest, deg=deg), dtype)
+    # mesh epochs are host work: build the f64 factor arrays on CPU (the
+    # remote TPU compiler need not see the builder program at all)
+    with jax.default_device(jax.devices("cpu")[0]):
+        mesh_h = build_mesh(geom, forest, deg=deg)
+    mesh = jax.device_put(to_dtype(mesh_h, dtype), jax.devices()[0])
     E = mesh.n_elements
     M = int(mesh.hc_elem.shape[0])
     u = jnp.asarray(rng.standard_normal((E,) + (mesh.nl,) * 3), dtype)
@@ -309,9 +313,9 @@ def bench_hp(level, deg_max, dtype, peak, bw, inner=64):
     E = forest.n_elements
     rng = np.random.default_rng(0)
     deg_e = rng.integers(3, deg_max + 1, size=E).astype(np.int32)
-    mesh = to_dtype(
-        build_mesh(geom, forest, deg=deg_max, deg_e=deg_e), dtype
-    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        mesh_h = build_mesh(geom, forest, deg=deg_max, deg_e=deg_e)
+    mesh = jax.device_put(to_dtype(mesh_h, dtype), jax.devices()[0])
     u = jnp.asarray(rng.standard_normal((E,) + (mesh.nl,) * 3), dtype)
 
     @jax.jit
@@ -346,10 +350,9 @@ def bench_sphere(level, deg, dtype, peak, bw, inner=64):
         "13tree", R0=10.0, R1=20.0, R2=1000.0, compactify_outer_shell=True
     )
     forest = Forest.uniform(geom.conn, level)
-    mesh = to_dtype(
-        build_mesh(geom, forest, deg=deg, face_h_type="j_div_sj_quad"),
-        dtype,
-    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        mesh_h = build_mesh(geom, forest, deg=deg, face_h_type="j_div_sj_quad")
+    mesh = jax.device_put(to_dtype(mesh_h, dtype), jax.devices()[0])
     E = mesh.n_elements
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.standard_normal((E,) + (mesh.nl,) * 3), dtype)

@@ -377,6 +377,58 @@ def _face_scatter_dynamic(Au, elems, faces, vals, dim, nl, D=None, term2_l=None,
     return Au
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _hanging_lift_mats(deg: int, dim: int):
+    """Static per-face lift matrices for the mortar pass: W13[f] places a
+    face plane into the volume (row-operand form plane @ W), W2[f]
+    additionally applies Dᵀ_l after the lift for each direction l
+    (stacked rows [dim*nfl, nv]).  Turns every mortar volume-lift into a
+    GEMM — TPU scatters (slow serial lowering) are eliminated."""
+    from disco4est_tpu.laplacian import fast as _fast
+
+    bm = _fast._base_mats(deg, deg, "legendre", dim)
+    # NB only sels/dvol are used — both depend on deg/dim alone, not on
+    # the quadrature kind, so the "legendre" key is safe for any mesh.
+    nl = deg + 1
+    nfl = nl ** (dim - 1)
+    nv = nl**dim
+    W13 = np.stack([bm["sels"][f] for f in range(2 * dim)])  # [2d, nfl, nv]
+    W2 = np.stack(
+        [
+            np.concatenate(
+                [bm["sels"][f] @ bm["dvol"][l] for l in range(dim)], axis=0
+            )
+            for f in range(2 * dim)
+        ]
+    )  # [2d, dim*nfl, nv]
+    return W13, W2
+
+
+def _lift_rows(elems, faces, vt13, vt2, E, deg, dim, dtype):
+    """Volume accumulation for dynamic-face mortar rows WITHOUT scatters:
+    per-face masked GEMMs against the static lift matrices, then ONE
+    one-hot matmul onto the element axis (MXU-friendly; TPU scatter-add
+    with duplicate rows lowers to a serial loop)."""
+    nl = deg + 1
+    nfl = nl ** (dim - 1)
+    nv = nl**dim
+    R = vt13.shape[0]
+    W13_np, W2_np = _hanging_lift_mats(deg, dim)
+    W13 = jnp.asarray(W13_np, dtype)
+    W2 = jnp.asarray(W2_np, dtype)
+    z13 = vt13.reshape(R, nfl)
+    z2 = vt2.reshape(R, dim * nfl)
+    vol = jnp.zeros((R, nv), dtype)
+    for f in range(2 * dim):
+        m = (faces == f).astype(dtype)[:, None]
+        vol = vol + (m * z13) @ W13[f] + (m * z2) @ W2[f]
+    onehot = jax.nn.one_hot(elems, E, dtype=dtype)  # [R, E]
+    return (onehot.T @ vol).reshape((E,) + (nl,) * dim)
+
+
 def _apply_hanging(mesh: MeshData, u_f, dudr_f, Vq, wf, D, dtype,
                    neighbors: str = "full"):
     """Hanging-face (nonconforming) mortar contributions.
@@ -391,6 +443,10 @@ def _apply_hanging(mesh: MeshData, u_f, dudr_f, Vq, wf, D, dtype,
       onto it.
     - COARSE rows (one per coarse hanging face): terms are computed on all
       K subfaces, mass-projected back to the coarse face with Σ_b P_bᵀ.
+
+    TPU shape: the subface index b is a BATCH axis (no python-K loop of
+    small kernels), and all volume lifts go through `_lift_rows`'s
+    GEMM+one-hot accumulation instead of scatters.
     """
     if mesh.face_drst is None:
         raise NotImplementedError(
@@ -410,81 +466,96 @@ def _apply_hanging(mesh: MeshData, u_f, dudr_f, Vq, wf, D, dtype,
     hp = jnp.asarray(
         np.stack([DB.hp_prolong(deg, deg, c) for c in (0, 1)]), dtype
     )  # [2, nl, nl]
+    bits = np.array(
+        [[(b >> t) & 1 for t in range(dim - 1)] for b in range(K)]
+    )  # [K, dim-1]
 
     ce, cfc = mesh.hc_elem, mesh.hc_face
     uc = u_f[ce, cfc]  # [M, nfl...] coarse frame
     duc = dudr_f[ce, cfc]  # [M, dim, nfl...]
 
-    Au = jnp.zeros((E,) + (nl,) * dim, dtype)
+    def prolong_b(v, t_axis, batched):
+        """apply hp[bits[:, t]] along face axis t for every subface b:
+        `batched=False`: [M, ...] -> [M, K, ...];
+        `batched=True`:  [M, K, ...] -> [M, K, ...]."""
+        mats = hp[jnp.asarray(bits[:, t_axis])]  # [K, nl, nl]
+        ax = v.ndim - 1 - t_axis
+        vm = jnp.moveaxis(v, ax, -1)
+        if batched:
+            out = jnp.einsum("kab,mk...b->mk...a", mats, vm)
+            return jnp.moveaxis(out, -1, ax)
+        out = jnp.einsum("kab,m...b->mk...a", mats, vm)
+        return jnp.moveaxis(out, -1, ax + 1)
 
-    # ---------- coarse-side rows ----------------------------------------
-    acc13 = jnp.zeros((M,) + fshape_l, dtype)
-    acc2 = jnp.zeros((M, dim) + fshape_l, dtype)
-    for b in range(K):
-        bits = [(b >> t) & 1 for t in range(dim - 1)]
-        # prolong coarse face data onto subface b (static mats)
-        u_m_sub = uc
-        du_m_sub = duc
-        for t in range(dim - 1):
-            u_m_sub = tensor.apply_axis(hp[bits[t]], u_m_sub, t)
-            du_m_sub = tensor.apply_axis(hp[bits[t]], du_m_sub, t)
-        u_m_q = _face_apply(Vq, u_m_sub, dim)
-        du_m_q = _face_apply(Vq, du_m_sub, dim)
-        drst_m = mesh.hc_drst_m[:, b].astype(dtype)  # [M, l, d, nfq...]
-        dudx_m = jnp.einsum("mld...,ml...->md...", drst_m, du_m_q)
+    def project_back_b(v, t_axis):
+        """P_bᵀ along face axis t; v [M, K, ...]."""
+        mats = hp[jnp.asarray(bits[:, t_axis])]
+        ax = v.ndim - 1 - t_axis
+        vm = jnp.moveaxis(v, ax, -1)
+        out = jnp.einsum("kba,mk...b->mk...a", mats, vm)
+        return jnp.moveaxis(out, -1, ax)
 
-        # fine side, gathered into the coarse frame
-        fe = mesh.hc_fine[:, b]
-        ff = mesh.hc_fine_face[:, b]
-        uf = jnp.take_along_axis(
-            u_f[fe, ff].reshape(M, nfl_flat), mesh.hc_perm_l[:, b], axis=-1
-        ).reshape((M,) + fshape_l)
-        duf = jnp.take_along_axis(
-            dudr_f[fe, ff].reshape(M, dim, nfl_flat),
-            mesh.hc_perm_l[:, b, None, :],
-            axis=-1,
-        ).reshape((M, dim) + fshape_l)
-        drst_p = jnp.take_along_axis(
-            mesh.face_drst[fe, ff].astype(dtype).reshape(M, dim, dim, nfq_flat),
-            mesh.hc_perm_q[:, b, None, None, :],
-            axis=-1,
-        ).reshape((M, dim, dim) + fshape_q)
-        u_p_q = _face_apply(Vq, uf, dim)
-        du_p_q = _face_apply(Vq, duf, dim)
-        dudx_p = jnp.einsum("mld...,ml...->md...", drst_p, du_p_q)
-        if neighbors == "zero":
-            u_p_q = jnp.zeros_like(u_p_q)
-            dudx_p = jnp.zeros_like(dudx_p)
+    # ---------- coarse-side rows (batched over subfaces b) ---------------
+    u_m_sub = uc
+    du_m_sub = duc
+    for t in range(dim - 1):
+        u_m_sub = prolong_b(u_m_sub, t, batched=t > 0)
+        du_m_sub = prolong_b(du_m_sub, t, batched=t > 0)
+    # shapes now [M, K, (dim,) fshape_l]
+    u_m_q = _face_apply(Vq, u_m_sub, dim)
+    du_m_q = _face_apply(Vq, du_m_sub, dim)
+    drst_m = mesh.hc_drst_m.astype(dtype)  # [M, K, l, d, nfq...]
+    dudx_m = jnp.einsum("mkld...,mkl...->mkd...", drst_m, du_m_q)
 
-        sj = mesh.hc_sj[:, b].astype(dtype)
-        n = mesh.hc_n[:, b].astype(dtype)
-        jump = u_m_q - u_p_q
-        term1 = -jnp.einsum("md...,md...->m...", n, 0.5 * (dudx_m + dudx_p)) * sj
-        drst_n = jnp.einsum("mld...,md...->ml...", drst_m, n)
-        term2 = -0.5 * drst_n * (sj * jump)[:, None]
-        if mesh.hc_sigma_q is not None:
-            # pointwise mortar penalty (FACE_H_EQ_J_DIV_SJ_QUAD)
-            term3 = sj * mesh.hc_sigma_q[:, b].astype(dtype) * jump
-        else:
-            sig = mesh.hc_sigma[:, b].astype(dtype)
-            term3 = sj * sig.reshape((M,) + (1,) * (dim - 1)) * jump
+    fe2 = mesh.hc_fine  # [M, K]
+    ff2 = mesh.hc_fine_face
+    uf = jnp.take_along_axis(
+        u_f[fe2, ff2].reshape(M, K, nfl_flat), mesh.hc_perm_l, axis=-1
+    ).reshape((M, K) + fshape_l)
+    duf = jnp.take_along_axis(
+        dudr_f[fe2, ff2].reshape(M, K, dim, nfl_flat),
+        mesh.hc_perm_l[:, :, None, :],
+        axis=-1,
+    ).reshape((M, K, dim) + fshape_l)
+    drst_p = jnp.take_along_axis(
+        mesh.face_drst[fe2, ff2].astype(dtype).reshape(
+            M, K, dim, dim, nfq_flat
+        ),
+        mesh.hc_perm_q[:, :, None, None, :],
+        axis=-1,
+    ).reshape((M, K, dim, dim) + fshape_q)
+    u_p_q = _face_apply(Vq, uf, dim)
+    du_p_q = _face_apply(Vq, duf, dim)
+    dudx_p = jnp.einsum("mkld...,mkl...->mkd...", drst_p, du_p_q)
+    if neighbors == "zero":
+        u_p_q = jnp.zeros_like(u_p_q)
+        dudx_p = jnp.zeros_like(dudx_p)
 
-        vt1 = _face_apply(Vq.T, wf * term1, dim)
-        vt2 = _face_apply(Vq.T, wf * term2, dim)
-        vt3 = _face_apply(Vq.T, wf * term3, dim)
-        # mass-project subface residual back to the coarse face: P_bᵀ
-        for t in range(dim - 1):
-            vt1 = tensor.apply_axis(hp[bits[t]].T, vt1, t)
-            vt2 = tensor.apply_axis(hp[bits[t]].T, vt2, t)
-            vt3 = tensor.apply_axis(hp[bits[t]].T, vt3, t)
-        acc13 = acc13 + vt1 + vt3
-        acc2 = acc2 + vt2
+    sj = mesh.hc_sj.astype(dtype)  # [M, K, nfq...]
+    n = mesh.hc_n.astype(dtype)  # [M, K, d, nfq...]
+    jump = u_m_q - u_p_q
+    term1 = (
+        -jnp.einsum("mkd...,mkd...->mk...", n, 0.5 * (dudx_m + dudx_p)) * sj
+    )
+    drst_n = jnp.einsum("mkld...,mkd...->mkl...", drst_m, n)
+    term2 = -0.5 * drst_n * (sj * jump)[:, :, None]
+    if mesh.hc_sigma_q is not None:
+        # pointwise mortar penalty (FACE_H_EQ_J_DIV_SJ_QUAD)
+        term3 = sj * mesh.hc_sigma_q.astype(dtype) * jump
+    else:
+        sig = mesh.hc_sigma.astype(dtype)
+        term3 = sj * sig.reshape((M, K) + (1,) * (dim - 1)) * jump
 
-    Au = _face_scatter_dynamic(Au, ce, cfc, acc13, dim, nl)
-    for l in range(dim):
-        Au = _face_scatter_dynamic(
-            Au, ce, cfc, acc2[:, l], dim, nl, D=D, term2_l=l
-        )
+    vt13 = _face_apply(Vq.T, wf * (term1 + term3), dim)
+    vt2 = _face_apply(Vq.T, wf * term2, dim)
+    # mass-project subface residuals back to the coarse face: Σ_b P_bᵀ
+    for t in range(dim - 1):
+        vt13 = project_back_b(vt13, t)
+        vt2 = project_back_b(vt2, t)
+    acc13 = vt13.sum(axis=1)  # [M, fshape_l]
+    acc2 = vt2.sum(axis=1)  # [M, dim, fshape_l]
+
+    Au = _lift_rows(ce, cfc, acc13, acc2, E, deg, dim, dtype)
 
     # ---------- fine-side rows -------------------------------------------
     fe = mesh.hc_fine.reshape(-1)  # [Mf]
@@ -549,13 +620,10 @@ def _apply_hanging(mesh: MeshData, u_f, dudr_f, Vq, wf, D, dtype,
         sig = mesh.hc_sigma.reshape(-1).astype(dtype)
         term3 = sj * sig.reshape((Mf,) + (1,) * (dim - 1)) * jump
 
-    vt1 = _face_apply(Vq.T, wf * term1, dim)
-    vt2 = _face_apply(Vq.T, wf * term2, dim)
-    vt3 = _face_apply(Vq.T, wf * term3, dim)
+    vt13f = _face_apply(Vq.T, wf * (term1 + term3), dim)
+    vt2f = _face_apply(Vq.T, wf * term2, dim)
 
-    Au = _face_scatter_dynamic(Au, fe, ff, vt1 + vt3, dim, nl)
-    for l in range(dim):
-        Au = _face_scatter_dynamic(Au, fe, ff, vt2[:, l], dim, nl, D=D, term2_l=l)
+    Au = Au + _lift_rows(fe, ff, vt13f, vt2f, E, deg, dim, dtype)
     return Au
 
 
