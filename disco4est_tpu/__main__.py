@@ -98,6 +98,12 @@ def main(argv):
         )
         return 1
     opts = Options.load(argv[0])
+    # [logging] log_dir = <dir> routes per-category logs to files
+    # (zlog role, reference IO/logging.conf:20-31); console stays stdout.
+    log_dir = opts.get("logging", "log_dir", None)
+    if log_dir:
+        from disco4est_tpu.util.logging import init_logging
+        init_logging(log_dir, console=False)
     name = opts.get("problem", "name", "sinx")
     ck = None
     out = "checkpoint.vtu"
@@ -124,6 +130,11 @@ def main(argv):
         print(f"unknown problem {name!r}; known: {known}")
         return 1
 
+    if log_dir:
+        from disco4est_tpu.util.logging import get_category
+        nlog = get_category("d4est_norms")
+        for line in result.norms.lines(key):
+            nlog.info(line)
     for line in result.norms.lines(key):
         print(line)
     fit = result.norms.convergence_fit(key)

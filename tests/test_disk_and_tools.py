@@ -114,3 +114,25 @@ def test_checkpoint_plotter_cli(tmp_path):
     assert out.exists()
     txt = out.read_text()
     assert "<VTKFile" in txt and "u" in txt
+
+
+def test_category_logging(tmp_path):
+    """Per-category log routing (zlog role, reference IO/logging.conf)."""
+    import logging as _pylog
+    from disco4est_tpu.util.logging import init_logging, get_category
+
+    init_logging(log_dir=str(tmp_path), console=False)
+    get_category("d4est_solver_cg").info("iter %d r2 %.3e", 3, 1.5e-9)
+    get_category("d4est_amr").warning("marked %d elements", 42)
+    get_category("custom_cat").info("on-demand category")
+    for h in _pylog.getLogger("disco4est").handlers:
+        h.flush()
+
+    combined = (tmp_path / "run.log").read_text()
+    assert "iter 3 r2 1.500e-09" in combined and "marked 42 elements" in combined
+    assert "iter 3" in (tmp_path / "d4est_solver_cg.log").read_text()
+    assert "marked 42" in (tmp_path / "d4est_amr.log").read_text()
+    assert "on-demand" in (tmp_path / "custom_cat.log").read_text()
+    # reconfigure without a log_dir: console-only, no crash
+    init_logging(None, console=False)
+    get_category("d4est_norms").info("no file handlers now")
