@@ -75,6 +75,31 @@ def geometry_from_options(opts: Options):
                 "geometry", "compactify_inner_shell", False, cast=bool
             ),
         )
+    if name in ("disk", "5treedisk"):
+        from disco4est_tpu.geometry.disk import DiskGeometry
+
+        return DiskGeometry(
+            R0=opts.get_float("geometry", "r0", 0.5),
+            R1=opts.get_float("geometry", "r1", 1.0),
+        )
+    if name in ("trap", "trapezoid"):
+        from disco4est_tpu.geometry.misc import TrapGeometry
+
+        return TrapGeometry()
+    if name == "pizza_half":
+        from disco4est_tpu.geometry.misc import PizzaHalfGeometry
+
+        return PizzaHalfGeometry(
+            R0=opts.get_float("geometry", "r0", 0.5),
+            R1=opts.get_float("geometry", "r1", 1.0),
+        )
+    if name == "hole_in_a_box":
+        from disco4est_tpu.geometry.misc import HoleInABoxGeometry
+
+        return HoleInABoxGeometry(
+            inner_radius=opts.get_float("geometry", "inner_radius", 1.0),
+            box_length=opts.get_float("geometry", "box_length", 10.0),
+        )
     raise ValueError(f"unknown geometry {name}")
 
 

@@ -121,3 +121,51 @@ def test_jacobian_positive():
             J = geom.dx(jnp.full(10, t), pts)
             det = np.asarray(jnp.linalg.det(J))
             assert (det > 0).all(), (t, det)
+
+
+def test_trap_and_pizza_maps():
+    """Trapezoid corner map + pizza-half boundary surfaces
+    (`d4est_geometry_trap.c:10-15`, `d4est_geometry_pizza_half.c:104-125`)."""
+    from disco4est_tpu.geometry.misc import PizzaHalfGeometry, TrapGeometry
+
+    trap = TrapGeometry()
+    corners = jnp.asarray(
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    )
+    x = np.asarray(trap.x(0, corners))
+    assert np.allclose(x, trap.VERTS, atol=1e-14)
+    # interior bilinear: y(r,s) = -r/2 + s + r*s
+    mid = np.asarray(trap.x(0, jnp.asarray([[0.5, 0.5]])))[0]
+    assert np.allclose(mid, [0.5, -0.25 + 0.5 + 0.25], atol=1e-14)
+
+    R0, R1 = 0.5, 1.3
+    pz = PizzaHalfGeometry(R0=R0, R1=R1)
+    ys = np.linspace(0.0, 1.0, 7)
+    inner = np.asarray(pz.x(0, jnp.stack([0 * ys, ys], axis=-1)))
+    assert np.allclose(inner[:, 0], 0.0, atol=1e-14)  # vertical chord x=0
+    outer = np.asarray(pz.x(0, jnp.stack([0 * ys + 1, ys], axis=-1)))
+    r = np.hypot(outer[:, 0] + R0 / np.sqrt(2.0), outer[:, 1])
+    assert np.allclose(r, R1, atol=1e-12)  # arc centred at (-R0/√2, 0)
+
+
+def test_hole_in_a_box():
+    """12-tree box-with-spherical-hole: face continuity, surfaces,
+    orientation (`d4est_geometry_hole_in_a_box.c:128-199`)."""
+    from disco4est_tpu.geometry.misc import HoleInABoxGeometry
+
+    geom = HoleInABoxGeometry(inner_radius=1.0, box_length=10.0)
+    _check_geometry(geom)
+    # inner boundary (trees 6-11, c=1): sphere of radius inner_radius/√3
+    pts = _face_points(4)
+    x = np.asarray(geom.x(jnp.full(len(pts), 7), jnp.asarray(pts)))
+    assert np.allclose(np.linalg.norm(x, axis=1), 1.0 / np.sqrt(3.0),
+                       atol=1e-12)
+    # outer boundary (trees 0-5, c=2): box face at box_length/2
+    x = np.asarray(geom.x(jnp.full(len(pts), 3), jnp.asarray(_face_points(5))))
+    assert np.allclose(np.abs(x).max(axis=1), 5.0, atol=1e-12)
+    # positive orientation everywhere
+    rng = np.random.default_rng(2)
+    for t in range(12):
+        p = jnp.asarray(rng.uniform(0.05, 0.95, (8, 3)))
+        det = np.asarray(jnp.linalg.det(geom.dx(jnp.full(8, t), p)))
+        assert (det > 0).all(), (t, det)
