@@ -461,7 +461,7 @@ def main():
     production = {}
     for name, fn in (
         ("adapted", lambda: bench_adapted(
-            3 if on_tpu else 2, 4, dtype, peak, bw)),
+            4 if on_tpu else 2, 4, dtype, peak, bw)),
         ("hp", lambda: bench_hp(4 if on_tpu else 1, 7, dtype, peak, bw)),
         ("sphere", lambda: bench_sphere(
             3 if on_tpu else 1, 4, dtype, peak, bw)),

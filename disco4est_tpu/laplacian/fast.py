@@ -172,17 +172,50 @@ def _host_mats_orth(deg: int, deg_quad: int, quad_key, dim: int, iso: bool):
         rows.append(bm["sels"][f] @ bm["dvol"][f // 2])  # D̂_nᵀ lift of s2n
     W_lift = np.concatenate(rows, axis=0)  # [2*nfaces*nfl, nv]
 
+    # mass-FREE lift for the dense coarse-mortar lanes (their loads carry
+    # the subface mass already): [place t13m | D̂_nᵀ place s2n]
+    rows2 = [bm["sels"][f] for f in range(nfaces)] + [
+        bm["sels"][f] @ bm["dvol"][f // 2] for f in range(nfaces)
+    ]
+    W_lift2 = np.concatenate(rows2, axis=0)
+
     return dict(W_vol=W_vol, nblk=nblk, W_tr=W_tr, W_lift=W_lift,
-                Mf=Mf, nv=nv, nfl=nfl)
+                W_lift2=W_lift2, Mf=Mf, nv=nv, nfl=nfl)
+
+
+@functools.lru_cache(maxsize=None)
+def _hang_prolong_mats(deg: int, dim: int):
+    """[K, nfl, nfl] coarse-face -> subface-b interpolation (flattened face
+    layout, subface bit t on the t-th-fastest face axis — the same
+    convention as `sipg._apply_hanging`'s `prolong_b`)."""
+    hp = [DB.hp_prolong(deg, deg, c) for c in (0, 1)]
+    K = 1 << (dim - 1)
+    mats = []
+    for b in range(K):
+        Pm = hp[b & 1]
+        for t in range(1, dim - 1):
+            Pm = np.kron(hp[(b >> t) & 1], Pm)
+        mats.append(Pm)
+    return np.stack(mats)
 
 
 def fast_path_available(mesh: MeshData, neighbors: str, robin) -> bool:
     return (
         mesh.affine
         and mesh.wjgg_c is not None
-        # hanging meshes ride the fast conforming bulk + the mortar pass
-        # (needs the full face factor arrays for the fine sides)
-        and (mesh.hc_elem.shape[0] == 0 or mesh.face_drst is not None)
+        # hanging meshes ride the fast conforming bulk + a mortar pass:
+        # either the dense orth tables, or the legacy [M, K] kernels
+        # (which need the full face factor arrays for the fine sides)
+        and (
+            mesh.hc_elem.shape[0] == 0
+            or (
+                mesh.orth
+                and not mesh.orient_codes
+                and mesh.hang_code is not None
+                and mesh.hc_sigma_q is None
+            )
+            or mesh.face_drst is not None
+        )
         and neighbors == "full"
         and robin is None
         and mesh.sigma_q is None  # fast paths assume per-face scalar sigma
@@ -289,24 +322,98 @@ def _apply_orth(mesh: MeshData, u, g=None, _upto: str = "full"):
 
     sj = mesh.face_sj_c.astype(dtype)[..., None]
     sig = mesh.sigma.astype(dtype)[..., None]
+
+    hanging = mesh.hc_elem.shape[0] > 0
+    dense_hang = (
+        hanging
+        and mesh.hang_code is not None
+        and mesh.hc_sigma_q is None
+    )
+    if dense_hang:
+        # Dense mortar pass: the [M, K] row kernels of `sipg._apply_hanging`
+        # re-expressed on the conforming [E, 2d] face arrays (a handful of
+        # fused GEMMs instead of ~50 latency-bound row ops — >10x on
+        # adapted meshes).  FINE side: the gathered neighbor row IS the
+        # coarse face's trace (faces.py sets nbr_* to the coarse element);
+        # prolong its lanes onto my subface and use the mortar penalty —
+        # then the conforming t13/s2n formulas apply verbatim (the fine
+        # face is the mortar).  The COARSE side reuses the fine rows via
+        # the mortar antisymmetry t13_c = -t13_f, jump_c = -jump_f.
+        code = mesh.hang_code  # [E, 2d]
+        K = 1 << (dim - 1)
+        P = jnp.asarray(_hang_prolong_mats(deg, dim), dtype)  # [K, nfl, nfl]
+        fine_m = (code > 0)[..., None]
+        # static select chain over the K subface codes (a take_along_axis
+        # over the K axis is a per-row gather — serial lowering on TPU)
+        for k in range(K):
+            mk = (code == k + 1)[..., None]
+            u_p = jnp.where(mk, u_p @ P[k].T, u_p)
+            dn_p = jnp.where(mk, dn_p @ P[k].T, dn_p)
+        sig = jnp.where(fine_m, mesh.hang_sigma.astype(dtype)[..., None], sig)
+
     jump = u_f - u_p
     t13 = -0.5 * sj * (dn_m - dn_p) + sj * sig * jump
     mj = (jump.reshape(-1, nfl) @ Mf).reshape(E, nfaces, nfl)
     s2n = (-0.5) * c2 * sj * mj * drstn_n[..., None]
 
-    hanging = mesh.hc_elem.shape[0] > 0
     if hanging:
-        # hanging faces are handled by the mortar pass below
-        cm = mesh.conf_mask[..., None].astype(dtype)
-        t13 = t13 * cm
-        s2n = s2n * cm
+        # faces not handled by this kernel are masked out: hanging faces
+        # for the legacy mortar pass, coarse-hanging only in dense mode
+        cmb = mesh.conf_mask
+        if dense_hang:
+            cmb = cmb | (code > 0)
+        cm = cmb[..., None].astype(dtype)
+        t13_z = t13 * cm
+        s2n_z = s2n * cm
+    else:
+        t13_z, s2n_z = t13, s2n
 
     Z = jnp.concatenate(
-        [t13.reshape(E, nfaces * nfl), s2n.reshape(E, nfaces * nfl)], axis=1
+        [t13_z.reshape(E, nfaces * nfl), s2n_z.reshape(E, nfaces * nfl)],
+        axis=1,
     )
     Au = Au + Z @ W_lift
+
+    if dense_hang:
+        # coarse side: COMPACT M-row gather of the fine-face loads (dense
+        # [E, 2d]-shaped gathers pay ~1ms per 288k-row pass on TPU; the
+        # real rows are only M*K), transpose-prolong + negate per mortar,
+        # then ONE unique-index set-scatter back onto the dense face
+        # arrays (coarse hanging faces are distinct rows — no duplicate
+        # accumulation, so the scatter lowers as a masked store, not the
+        # serial read-modify-write loop duplicate scatters trigger)
+        sjmj = sj * mj
+        t13m = (t13.reshape(-1, nfl) @ Mf).reshape(E, nfaces, nfl)
+        packc = jnp.concatenate([t13m, sjmj], axis=-1).reshape(
+            E * nfaces, 2 * nfl
+        )
+        rows_c = mesh.hc_fine * nfaces + mesh.hc_fine_face  # [M, K]
+        gk = packc[rows_c.reshape(-1)].reshape(-1, K, 2 * nfl)
+        t13m_row = -jnp.einsum("mkb,kba->ma", gk[..., :nfl], P)
+        sjmj_row = -jnp.einsum("mkb,kba->ma", gk[..., nfl:], P)
+        cidx = mesh.hc_elem * nfaces + mesh.hc_face  # [M]
+        t13m_c = (
+            jnp.zeros((E * nfaces, nfl), dtype)
+            .at[cidx]
+            .set(t13m_row, unique_indices=True)
+            .reshape(E, nfaces, nfl)
+        )
+        sjmj_c = (
+            jnp.zeros((E * nfaces, nfl), dtype)
+            .at[cidx]
+            .set(sjmj_row, unique_indices=True)
+            .reshape(E, nfaces, nfl)
+        )
+        s2n_c = -0.5 * sjmj_c * drstn_n[..., None]
+        W_lift2 = jnp.asarray(hm["W_lift2"], dtype)
+        Z2 = jnp.concatenate(
+            [t13m_c.reshape(E, nfaces * nfl), s2n_c.reshape(E, nfaces * nfl)],
+            axis=1,
+        )
+        Au = Au + Z2 @ W_lift2
+
     Au = Au.reshape(u.shape)
-    if hanging:
+    if hanging and not dense_hang:
         Au = _add_hanging(mesh, Au, u.reshape((E,) + (nl,) * dim), dtype)
     return Au
 

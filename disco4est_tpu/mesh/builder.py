@@ -142,6 +142,18 @@ class MeshData:
     # the scalar penalty modes.
     hc_sigma_q: jnp.ndarray | None = None
 
+    # --- DENSE hanging tables (orth fast path) ---------------------------
+    # The [M, K] mortar-row layout above runs as ~50 small latency-bound
+    # kernels on TPU; on orthogonal affine meshes with identity hanging
+    # orientations the whole mortar pass instead folds into the conforming
+    # [E, 2d] face machinery (laplacian/fast.py `_apply_orth`), driven by
+    # these per-face tables.  None when hanging rows carry nontrivial
+    # orientations, when the penalty is pointwise, or when M == 0.
+    hang_code: jnp.ndarray | None = None  # [E, 2d] int32: 0, or subface b+1
+    #                                        on the FINE side of a mortar
+    hang_sigma: jnp.ndarray | None = None  # [E, 2d] mortar penalty at fine
+    #                                         hanging faces (0 elsewhere)
+
     # --- per-element radial quadrature (compactified shells) ------------
     # Role of `d4est_quadrature_compactified.c`: on compactified outer
     # shells the VOLUME quadrature uses a per-element Gaussian rule for
@@ -565,6 +577,25 @@ def build_mesh(
             hf_perm_l=jnp.asarray(hf_perm_l),
             hf_perm_q=jnp.asarray(hf_perm_q),
         )
+        # dense per-face hanging tables (orth fast path; identity
+        # orientations only — the [E, 2d] machinery skips the perms)
+        ident = (
+            (hc_perm_l == np.arange(nfl_flat)).all()
+            and (hf_perm_l == np.arange(nfl_flat)).all()
+        )
+        if ident:
+            nfc = 2 * dim
+            fines = np.asarray(ft.hc_fine)
+            ffaces = np.asarray(ft.hc_fine_face, np.int64)
+            hang_code = np.zeros((E, nfc), np.int32)
+            hang_sigma_d = np.zeros((E, nfc), np.float64)
+            bb = np.broadcast_to(np.arange(K)[None, :], (M, K))
+            hang_code[fines, ffaces] = (bb + 1).astype(np.int32)
+            hang_sigma_d[fines, ffaces] = hc_sigma
+            mortar.update(
+                hang_code=jnp.asarray(hang_code),
+                hang_sigma=jnp.asarray(hang_sigma_d),
+            )
     else:
         mortar = dict(
             hc_elem=jnp.zeros((0,), jnp.int32),

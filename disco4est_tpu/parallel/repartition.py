@@ -255,5 +255,9 @@ def pad_mesh_to_layout(mesh, layout: PaddedLayout):
         hc_fine=jnp.asarray(
             new_of_old[np.asarray(mesh.hc_fine)].astype(np.int32)
         ),
+        # dense hanging tables reorder like any [E, 2d] face array
+        # (pads: 0 = not hanging)
+        hang_code=g(mesh.hang_code),
+        hang_sigma=g(mesh.hang_sigma),
     )
     return _dc.replace(mesh, **repl)

@@ -125,3 +125,30 @@ def test_hanging_solve_2d():
 
     assert res.iterations > 0
     assert err < 2.0 * err_c, (err, err_c)
+
+
+def test_dense_hanging_matches_legacy():
+    """The dense [E, 2d] mortar pass of `fast._apply_orth` (hang_code
+    tables) is the same operator as the legacy [M, K] row kernels, to
+    roundoff, in 2D and 3D."""
+    import dataclasses
+
+    from disco4est_tpu.laplacian import fast
+
+    rng = np.random.default_rng(3)
+    for dim, lvl, deg in ((2, 2, 4), (3, 2, 3)):
+        geom = BrickGeometry(dim=dim)
+        forest = Forest.uniform(geom.conn, lvl)
+        forest = forest.refine(np.arange(forest.n_elements) < 5).balance()
+        mesh = build_mesh(geom, forest, deg=deg)
+        assert mesh.hang_code is not None and mesh.hc_elem.shape[0] > 0
+        u = jnp.asarray(
+            rng.standard_normal((mesh.n_elements,) + (mesh.nl,) * dim)
+        )
+        a_dense = fast.apply_sipg_fast(mesh, u)
+        legacy = dataclasses.replace(mesh, hang_code=None, hang_sigma=None)
+        a_legacy = fast.apply_sipg_fast(legacy, u)
+        rel = float(
+            jnp.max(jnp.abs(a_dense - a_legacy)) / jnp.max(jnp.abs(a_legacy))
+        )
+        assert rel < 1e-13, (dim, rel)
