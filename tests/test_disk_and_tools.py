@@ -136,3 +136,35 @@ def test_category_logging(tmp_path):
     # reconfigure without a log_dir: console-only, no crash
     init_logging(None, console=False)
     get_category("d4est_norms").info("no file handlers now")
+
+
+def test_trap_and_pizza_poisson_p_convergence():
+    """Trapezoid (bilinear, non-affine) and pizza-half (curved outer
+    arc): single-tree 2D Poisson p-converges through the general path
+    (`d4est_geometry_trap.c`, `d4est_geometry_pizza_half.c`)."""
+    from disco4est_tpu.geometry.misc import PizzaHalfGeometry, TrapGeometry
+
+    pi = np.pi
+    u_fcn = lambda x, y: jnp.sin(pi * x) * jnp.sin(pi * y)
+    f_fcn = lambda x, y: 2 * pi**2 * u_fcn(x, y)
+
+    for geom, lvl in ((TrapGeometry(), 1), (PizzaHalfGeometry(0.5, 1.0), 1)):
+        forest = Forest.uniform(geom.conn, lvl)
+        errs = {}
+        for deg in (2, 4):
+            mesh = build_mesh(
+                geom, forest, deg=deg, deg_quad=deg + 1,
+                face_h_type="j_div_sj_quad",
+            )
+            g = mesh.boundary_values(u_fcn)
+            f = mesh.init_field(f_fcn)
+            rhs = build_rhs_with_strong_bc(mesh, f, g)
+            res = cg_solve(
+                lambda v: apply_sipg(mesh, v), rhs, atol=1e-14, rtol=0.0,
+                max_iter=20000,
+            )
+            ua = mesh.init_field(u_fcn)
+            errs[deg] = float(
+                jnp.sqrt(jnp.sum(mesh.l2_norm_sqr(res.x - ua)))
+            )
+        assert errs[4] < 0.1 * errs[2], (type(geom).__name__, errs)
