@@ -135,7 +135,15 @@ def mg_plugin_names(opts: Options):
         "multigrid", "bottom_solver_name",
         opts.get("multigrid", "bottom_solver", "cg"),
     )
-    return _SMOOTHER_MAP.get(sm, sm), _BOTTOM_MAP.get(bt, bt)
+    sm = _SMOOTHER_MAP.get(sm, sm)
+    bt = _BOTTOM_MAP.get(bt, bt)
+    # fail loudly on typos: v_cycle would otherwise silently fall through
+    # to the Chebyshev smoother (ADVICE r4)
+    if sm not in ("cheby", "schwarz", "schwarz_overlap", "none"):
+        raise ValueError(f"unknown [multigrid] smoother {sm!r}")
+    if bt not in ("cg", "cheby", "reuse_smoother"):
+        raise ValueError(f"unknown [multigrid] bottom solver {bt!r}")
+    return sm, bt
 
 
 def face_h_from_options(opts: Options) -> str:
@@ -247,12 +255,20 @@ def _linear_solve_cg_cheby_hp(mesh, rhs, x0, bounds):
     )
 
 
-@jax.jit
-def _linear_solve_mixed(mesh, mesh32, rhs, x0):
+import functools as _ft
+
+
+@_ft.partial(
+    jax.jit, static_argnames=("inner_rtol", "inner_max_iter", "max_outer")
+)
+def _linear_solve_mixed(mesh, mesh32, rhs, x0, inner_rtol=1e-6,
+                        inner_max_iter=20000, max_outer=60):
     """Mixed-precision iterative refinement as THE production f64 solve
     (`solvers/mixed.py`): outer residual/correction in f64 (one f64
     apply per outer step), inner CG in f32 on an f32-cast mesh epoch —
     the MXU-native path whose digits the f64 regression tests certify.
+    Inner tolerances are configurable from [d4est_solver_krylov_petsc]
+    (mixed_inner_rtol / mixed_inner_max_iter / mixed_max_outer).
     """
     from disco4est_tpu.solvers.mixed import mixed_refine_solve
 
@@ -264,7 +280,8 @@ def _linear_solve_mixed(mesh, mesh32, rhs, x0):
 
     return mixed_refine_solve(
         A64, rhs, x0=x0, A32=A32, atol=5e-15, rtol=1e-20,
-        inner_rtol=1e-6, inner_max_iter=20000, max_outer=60,
+        inner_rtol=inner_rtol, inner_max_iter=inner_max_iter,
+        max_outer=max_outer,
     )
 
 
@@ -338,6 +355,17 @@ def run_poisson(opts: Options, problem) -> DriverResult:
     # dtype of the shipped solver, f64 the user-facing contract
     use_mixed = opts.get(
         "d4est_solver_krylov_petsc", "use_mixed_precision", True, cast=bool
+    )
+    mixed_opts = dict(
+        inner_rtol=opts.get_float(
+            "d4est_solver_krylov_petsc", "mixed_inner_rtol", 1e-6
+        ),
+        inner_max_iter=opts.get_int(
+            "d4est_solver_krylov_petsc", "mixed_inner_max_iter", 20000
+        ),
+        max_outer=opts.get_int(
+            "d4est_solver_krylov_petsc", "mixed_max_outer", 60
+        ),
     )
 
     # hp state: per-element degrees + storage degree (grows as smooth_pred
@@ -504,7 +532,12 @@ def run_poisson(opts: Options, problem) -> DriverResult:
             from disco4est_tpu.solvers.mixed import mesh_astype
 
             mesh32 = mesh_astype(mesh, jnp.float32)
-            res = _linear_solve_mixed(mesh, mesh32, rhs, x0)
+            res = _linear_solve_mixed(mesh, mesh32, rhs, x0, **mixed_opts)
+            if int(res.outer_iterations) >= mixed_opts["max_outer"]:
+                # the f32 inner solve stagnated before reaching the f64
+                # tolerance — fall back to the plain f64 solver
+                # (ADVICE r4)
+                res = solve(mesh, rhs, x0)
         else:
             res = solve(mesh, rhs, x0)
         if not (it == it0 and resume_u is not None):

@@ -17,8 +17,11 @@ Isend/Irecv halo:
   values with one `all_to_all` (O(surface) bytes), recomputes their face
   traces locally, and runs the standard fused face kernel.
 
-Round-1 scope: conforming + boundary meshes (hanging meshes fall back to
-the GSPMD path).
+Coverage: conforming, boundary AND hanging (2:1 mortar) faces — hanging
+rows are assigned to the shard owning their element and remote mortar
+partners ride the same all_to_all (`_hanging_passes`).  Pointwise
+penalties (`sigma_q`, FACE_H_EQ_J_DIV_SJ_QUAD) ship per-face σ tables
+with the sharded face arrays.
 """
 
 from __future__ import annotations
@@ -103,6 +106,8 @@ def _hanging_passes(hang, u_f_ext, dudr_f_ext, face_drst_ext, face_sj,
 
         sj = hang["hco_sj"][:, b].astype(dtype)
         n = hang["hco_n"][:, b].astype(dtype)
+        # sigma is stored broadcast-ready: [Mc, K2, 1...] for scalar
+        # penalties, [Mc, K2, nfq...] for pointwise (j_div_sj_quad)
         sig = hang["hco_sigma"][:, b].astype(dtype)
         jump = u_m_q - u_p_q
         term1 = (
@@ -110,7 +115,7 @@ def _hanging_passes(hang, u_f_ext, dudr_f_ext, face_drst_ext, face_sj,
         )
         drst_n = jnp.einsum("mld...,md...->ml...", drst_m, n)
         term2 = -0.5 * drst_n * (sj * jump)[:, None]
-        term3 = sj * sig.reshape((Mc,) + (1,) * (dim - 1)) * jump
+        term3 = sj * sig * jump
 
         vt1 = _face_apply(Vq.T, wf * term1, dim)
         vt2 = _face_apply(Vq.T, wf * term2, dim)
@@ -135,7 +140,7 @@ def _hanging_passes(hang, u_f_ext, dudr_f_ext, face_drst_ext, face_sj,
     fe_c = jnp.minimum(fe, B - 1)  # pad rows: clamp local factor reads
     sj = face_sj[fe_c, ff].astype(dtype)
     n = face_n[fe_c, ff].astype(dtype)
-    sig = hang["hfi_sigma"].astype(dtype)
+    sig = hang["hfi_sigma"].astype(dtype)  # [Mf, 1...] or [Mf, nfq...]
 
     u_m_q = _face_apply(Vq, u_m, dim)
     du_m_q = _face_apply(Vq, du_m, dim)
@@ -167,7 +172,7 @@ def _hanging_passes(hang, u_f_ext, dudr_f_ext, face_drst_ext, face_sj,
     term1 = -jnp.einsum("md...,md...->m...", n, 0.5 * (dudx_m + dudx_p)) * sj
     drst_n = jnp.einsum("mld...,md...->ml...", drst_m, n)
     term2 = -0.5 * drst_n * (sj * jump)[:, None]
-    term3 = sj * sig.reshape((Mf,) + (1,) * (dim - 1)) * jump
+    term3 = sj * sig * jump
 
     vt1 = _face_apply(Vq.T, wf * term1, dim)
     vt2 = _face_apply(Vq.T, wf * term2, dim)
@@ -353,9 +358,26 @@ def build_halo_program(mesh: MeshData, n_dev: int) -> HaloProgram:
         hc_sj_g = np.asarray(mesh.hc_sj)
         hc_n_g = np.asarray(mesh.hc_n)
         hc_drst_g = np.asarray(mesh.hc_drst_m)
-        hc_sigma_g = np.asarray(mesh.hc_sigma)
         hf_perm_l_g = np.asarray(mesh.hf_perm_l).reshape(M_g, K2, -1)
         hf_perm_q_g = np.asarray(mesh.hf_perm_q).reshape(M_g, K2, -1)
+        # sigma stored broadcast-ready against [.., nfq...] face arrays:
+        # scalar penalty -> trailing 1s; pointwise (j_div_sj_quad) -> the
+        # full per-quad-point tables, fine side pre-permuted into each
+        # fine frame (the `_apply_hanging` take_along_axis done on host)
+        if mesh.hc_sigma_q is not None:
+            sig_shape = fq
+            hc_sig_g = np.asarray(mesh.hc_sigma_q)  # [M, K2, fq...]
+            hf_sig_g = np.take_along_axis(
+                hc_sig_g.reshape(M_g * K2, nfq_flat),
+                hf_perm_q_g.reshape(M_g * K2, nfq_flat),
+                axis=-1,
+            ).reshape((M_g, K2) + fq)
+        else:
+            sig_shape = (1,) * (dim - 1)
+            hc_sig_g = np.asarray(mesh.hc_sigma).reshape(
+                (M_g, K2) + sig_shape
+            )
+            hf_sig_g = hc_sig_g
 
         hco_elem = np.full((n_dev, Mc), TRASH, np.int32)
         hco_face = np.zeros((n_dev, Mc), np.int32)
@@ -366,7 +388,7 @@ def build_halo_program(mesh: MeshData, n_dev: int) -> HaloProgram:
         hco_sj = np.zeros((n_dev, Mc, K2) + fq)
         hco_n = np.zeros((n_dev, Mc, K2, dim) + fq)
         hco_drst_m = np.zeros((n_dev, Mc, K2, dim, dim) + fq)
-        hco_sigma = np.zeros((n_dev, Mc, K2))
+        hco_sigma = np.zeros((n_dev, Mc, K2) + sig_shape)
         hfi_elem = np.full((n_dev, Mf), TRASH, np.int32)
         hfi_face = np.zeros((n_dev, Mf), np.int32)
         hfi_bbit = np.zeros((n_dev, Mf, max(dim - 1, 1)), np.int32)
@@ -375,7 +397,7 @@ def build_halo_program(mesh: MeshData, n_dev: int) -> HaloProgram:
         hfi_perm_l = np.zeros((n_dev, Mf, nfl_flat), np.int32)
         hfi_perm_q = np.zeros((n_dev, Mf, nfq_flat), np.int32)
         hfi_drst_p = np.zeros((n_dev, Mf, dim, dim) + fq)
-        hfi_sigma = np.zeros((n_dev, Mf))
+        hfi_sigma = np.zeros((n_dev, Mf) + sig_shape)
 
         for s in range(n_dev):
             for i, m in enumerate(co_rows[s]):
@@ -389,7 +411,7 @@ def build_halo_program(mesh: MeshData, n_dev: int) -> HaloProgram:
                 hco_sj[s, i] = hc_sj_g[m]
                 hco_n[s, i] = hc_n_g[m]
                 hco_drst_m[s, i] = hc_drst_g[m]
-                hco_sigma[s, i] = hc_sigma_g[m]
+                hco_sigma[s, i] = hc_sig_g[m]
             for i, (m, b) in enumerate(fi_rows[s]):
                 hfi_elem[s, i] = loc_of[s][int(hc_fine_g[m, b])]
                 hfi_face[s, i] = int(hc_fine_face_g[m, b])
@@ -400,7 +422,7 @@ def build_halo_program(mesh: MeshData, n_dev: int) -> HaloProgram:
                 hfi_perm_l[s, i] = hf_perm_l_g[m, b]
                 hfi_perm_q[s, i] = hf_perm_q_g[m, b]
                 hfi_drst_p[s, i] = hc_drst_g[m, b]
-                hfi_sigma[s, i] = hc_sigma_g[m, b]
+                hfi_sigma[s, i] = hf_sig_g[m, b]
 
         hang = dict(
             hco_elem=jnp.asarray(hco_elem),
@@ -444,13 +466,11 @@ def apply_sipg_halo(mesh: MeshData, halo: HaloProgram, u, dev_mesh: Mesh):
 
     `mesh` arrays and `u` must be sharded over `dev_mesh`; returns Au with
     the same sharding.  Matches `apply_sipg(mesh, u, g)` bitwise up to
-    float reassociation.
+    float reassociation.  Pointwise penalties (sigma_q, the
+    FACE_H_EQ_J_DIV_SJ_QUAD mode every curved flagship config uses) ride
+    the same program: σ tables are element-major and shard with the face
+    arrays.
     """
-    if mesh.sigma_q is not None:
-        raise NotImplementedError(
-            "sharded apply with pointwise penalty (j_div_sj_quad) not "
-            "implemented yet"
-        )
     dim, deg, deg_quad = mesh.dim, mesh.deg, mesh.deg_quad
     nl, nq = deg + 1, deg_quad + 1
     dtype = u.dtype
@@ -557,7 +577,9 @@ def apply_sipg_halo(mesh: MeshData, halo: HaloProgram, u, dev_mesh: Mesh):
         )
         drst_n = jnp.einsum("efld...,efd...->efl...", drst_m, n_m)
         term2 = -0.5 * c2[:, :, None] * drst_n * (sj * jump)[:, :, None]
-        term3 = sj * sigma.astype(dtype).reshape(bshape) * jump
+        # sigma arrives broadcast-ready: [B, 2d, 1...] (scalar penalty)
+        # or [B, 2d, nfq...] (pointwise j_div_sj_quad)
+        term3 = sj * sigma.astype(dtype) * jump
 
         vt1 = _face_apply(Vq.T, wf * term1, dim)
         vt2 = _face_apply(Vq.T, wf * term2, dim)
@@ -613,6 +635,11 @@ def apply_sipg_halo(mesh: MeshData, halo: HaloProgram, u, dev_mesh: Mesh):
         if hanging
         else {}
     )
+    sigma_arg = (
+        mesh.sigma_q
+        if mesh.sigma_q is not None
+        else mesh.sigma.reshape(mesh.sigma.shape + (1,) * (dim - 1))
+    )
     e_spec = P("e")
     mapped = shard_map(
         body,
@@ -622,8 +649,22 @@ def apply_sipg_halo(mesh: MeshData, halo: HaloProgram, u, dev_mesh: Mesh):
     )
     return mapped(
         u, mesh.wjgg, mesh.face_drst, mesh.face_n, mesh.face_sj,
-        mesh.sigma, mesh.bnd_mask, mesh.conf_mask, mesh.nbr_face,
+        sigma_arg, mesh.bnd_mask, mesh.conf_mask, mesh.nbr_face,
         mesh.perm_l, mesh.perm_q,
         halo.send_idx, halo.recv_pos, halo.nbr_local, halo.halo_face_drst,
         hang_args,
     )
+
+
+def apply_sipg_hp_halo(mesh: MeshData, halo: HaloProgram, u_own, dev_mesh):
+    """Mixed-degree (hp) halo apply: A_hp = Pᵀ A_max P with the
+    storage-degree apply running through the halo program.  P is the
+    block-diagonal per-element p-prolongation (`laplacian/hp.py`) —
+    element-local, so it shards trivially and the halo still exchanges
+    only storage-degree volume values (the reference exchanges
+    variable-size per-element vectors, `Mesh/d4est_ghost_data.c:143-246`;
+    padding to the storage degree is the TPU static-shape equivalent)."""
+    from disco4est_tpu.laplacian.hp import adjoint_to_own, to_max
+
+    Au = apply_sipg_halo(mesh, halo, to_max(mesh, u_own), dev_mesh)
+    return adjoint_to_own(mesh, Au)

@@ -108,6 +108,11 @@ def _amr_transfer_plan(old: Forest, new: Forest):
     the old source element and the per-generation child bits (supports
     balance cascades up to depth `max_dl`)."""
     src, child, dl = element_lineage(old, new)
+    # the child-bit prolongation below assumes pure refinement lineages;
+    # a coarsening (dl < 0) would silently copy one descendant's field
+    # instead of projecting (ADVICE r4) — fail loudly until the
+    # coarsen-projection branch exists
+    assert (dl >= 0).all(), "migrate_after_amr: coarsening not supported"
     max_dl = int(dl.max()) if len(dl) else 0
     Enew = new.n_elements
     dim = old.dim
@@ -186,6 +191,11 @@ def pad_mesh_to_layout(mesh, layout: PaddedLayout):
     This is the repartition "rebuild" half; `migrate_after_amr` is the
     field half.  Together they play `p4est_partition_ext` +
     `p4est_transfer_custom` (`hpAMR/d4est_amr.c:788-852`).
+
+    The host-side companions (`mesh.forest`, `mesh.ft`) are NOT remapped:
+    the padded mesh carries a guard aux that raises on access, so
+    consumers that need the host forest (penalty_debug, build_structured,
+    estimators, VTK) must use the unpadded mesh (ADVICE r4).
     """
     import dataclasses as _dc
 
@@ -259,5 +269,25 @@ def pad_mesh_to_layout(mesh, layout: PaddedLayout):
         # (pads: 0 = not hanging)
         hang_code=g(mesh.hang_code),
         hang_sigma=g(mesh.hang_sigma),
+        aux=_PaddedAux(),
     )
     return _dc.replace(mesh, **repl)
+
+
+class _PaddedAux:
+    """Guard aux for padded meshes: the element-major arrays were
+    reordered but the host forest/face tables were not — fail loudly
+    instead of returning a stale ordering."""
+
+    def __getattr__(self, name):
+        raise AttributeError(
+            "padded MeshData has no host forest/ft (element ordering was "
+            f"remapped by pad_mesh_to_layout); aux.{name} requested — use "
+            "the unpadded mesh for host-side consumers"
+        )
+
+    def __eq__(self, other):
+        return isinstance(other, _PaddedAux)
+
+    def __hash__(self):
+        return 1

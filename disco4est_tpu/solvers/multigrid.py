@@ -396,6 +396,11 @@ def v_cycle(hier: MGHierarchy, A: Callable, b, x):
     deg = hier.meshes[0].deg
     dim = hier.meshes[0].dim
 
+    if p.smoother not in ("cheby", "schwarz", "schwarz_overlap", "none"):
+        raise ValueError(f"unknown MG smoother {p.smoother!r}")
+    if p.bottom not in ("cg", "cheby", "reuse_smoother"):
+        raise ValueError(f"unknown MG bottom solver {p.bottom!r}")
+
     def smooth(level, A_l, b_l, x_l):
         if p.smoother == "none":
             return x_l

@@ -391,6 +391,11 @@ def build_overlapping_schwarz(
     )
 
     # ---- masks & weights: the reference's quintic-hat scheme -------------
+    # NB (ADVICE r4): the hat telescopes to Σ w = 1 only across CONFORMING
+    # neighbor pairs; near hanging mortars the subdomain weights over/
+    # under-count nodes exactly as the reference's scheme does.  Harmless
+    # for correctness (Schwarz sits inside flexible CG / MG smoothing) but
+    # smoother quality degrades slightly on adapted levels.
     # Restriction (mask) keeps `ov` node layers along every axis through
     # which the member touches the core, in the MEMBER'S OWN frame
     # (`apply_schwarz_restrictor` with `ed.faces`); weights are the

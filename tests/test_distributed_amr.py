@@ -250,3 +250,96 @@ def test_amr_epoch_device_count_invariance():
     x8, log8 = _amr_epoch(8)
     assert np.array_equal(log1, log8)
     assert np.max(np.abs(x1 - x8)) < 1e-12, np.max(np.abs(x1 - x8))
+
+
+def test_halo_pointwise_sigma_sphere():
+    """Distributed apply with the POINTWISE penalty (j_div_sj_quad) on
+    the curved 7-tree cubed sphere — the σ mode every pinned flagship
+    config uses (Lorentzian, TP7/TP13, Schwarz).  Closes VERDICT r4
+    missing #2: `parallel/halo.py` previously raised NotImplementedError
+    here.  Reference: `Mesh/d4est_ghost_data.c:143-246` exchanges fields
+    with no penalty-mode restriction."""
+    from disco4est_tpu.geometry.cubed_sphere import CubedSphereGeometry
+
+    geom = CubedSphereGeometry("7tree", R0=1.0, R1=2.0)
+    forest = Forest.uniform(geom.conn, 1)  # 56 elements
+    mesh = build_mesh(geom, forest, deg=2, face_h_type="j_div_sj_quad")
+    assert mesh.sigma_q is not None
+    E = mesh.n_elements
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal((E, 3, 3, 3)))
+    ref = apply_sipg_jit(mesh, u)
+
+    dev_mesh = element_mesh(jax.devices()[:8])
+    halo = build_halo_program(mesh, 8)
+    mesh_s = shard_mesh_data(mesh, dev_mesh)
+    u_s = shard_field(u, dev_mesh)
+    out = jax.jit(lambda m, h, v: apply_sipg_halo(m, h, v, dev_mesh))(
+        mesh_s, halo, u_s
+    )
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err < 1e-11, err
+
+
+def test_halo_pointwise_sigma_hanging():
+    """Pointwise σ + HANGING mortars through the halo: adapted 7-tree
+    sphere, padded weighted layout (σ_q tables ride the hang tables,
+    fine side pre-permuted on host)."""
+    from disco4est_tpu.geometry.cubed_sphere import CubedSphereGeometry
+
+    geom = CubedSphereGeometry("7tree", R0=1.0, R1=2.0)
+    forest = Forest.uniform(geom.conn, 1)
+    flags = np.zeros(forest.n_elements, bool)
+    flags[[3, 17]] = True
+    forest = forest.refine(flags).balance()
+    mesh0 = build_mesh(geom, forest, deg=2, face_h_type="j_div_sj_quad")
+    assert mesh0.hc_elem.shape[0] > 0 and mesh0.hc_sigma_q is not None
+    E = mesh0.n_elements
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal((E, 3, 3, 3)))
+    ref = apply_sipg_jit(mesh0, u)
+
+    layout = PaddedLayout.build(np.ones(E), 8)
+    mesh_p = pad_mesh_to_layout(mesh0, layout)
+    dev_mesh = element_mesh(jax.devices()[:8])
+    halo = build_halo_program(mesh_p, 8)
+    mesh_s = shard_mesh_data(mesh_p, dev_mesh)
+    u_p = shard_field(migrate_field(u, layout), dev_mesh)
+    out_p = jax.jit(lambda m, h, v: apply_sipg_halo(m, h, v, dev_mesh))(
+        mesh_s, halo, u_p
+    )
+    out = unmigrate_field(out_p, layout, E)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err < 1e-11, err
+
+
+def test_halo_hp_matches_global():
+    """Mixed-degree (hp) halo apply: A_hp = Pᵀ A_max P with the
+    storage-degree apply under shard_map — closes the halo's
+    uniform-degree-only limit (VERDICT r4 missing #2)."""
+    from disco4est_tpu.laplacian.hp import apply_sipg_hp
+    from disco4est_tpu.parallel.halo import apply_sipg_hp_halo
+
+    mesh_plain = _hanging_mesh(deg=2)
+    E = mesh_plain.n_elements
+    rng = np.random.default_rng(11)
+    deg_e = rng.integers(2, 4, size=E).astype(np.int32)
+    geom = mesh_plain.geom
+    forest = mesh_plain.forest
+    mesh = build_mesh(geom, forest, deg=3, deg_e=deg_e)
+    nl = 4
+    u_own = jnp.asarray(rng.standard_normal((E, nl, nl, nl)))
+    from disco4est_tpu.laplacian.hp import own_mask
+
+    u_own = u_own * own_mask(mesh, u_own.dtype)
+    ref = jax.jit(apply_sipg_hp)(mesh, u_own)
+
+    dev_mesh = element_mesh(jax.devices()[:8])
+    halo = build_halo_program(mesh, 8)
+    mesh_s = shard_mesh_data(mesh, dev_mesh)
+    u_s = shard_field(u_own, dev_mesh)
+    out = jax.jit(
+        lambda m, h, v: apply_sipg_hp_halo(m, h, v, dev_mesh)
+    )(mesh_s, halo, u_s)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err < 1e-11, err
