@@ -303,6 +303,146 @@ def _linear_solve_cg_cheby(mesh, rhs, x0, bounds):
     )
 
 
+# ---------------------------------------------------------------------------
+# Distributed execution ([parallelism] section)
+# ---------------------------------------------------------------------------
+#
+# The reference driver IS the parallel program: `driver.c:13-313` runs
+# PetscInitialize (MPI world) → p4est partition → ghost → solve, and every
+# problem is `mpirun`-able.  Here the same role: [parallelism] routes the
+# production AMR loops through the node-weighted SFC layout
+# (`d4est_amr_load_balance`), the padded sharded mesh, and the shard_map
+# halo apply (`Mesh/d4est_ghost_data.c` role) — one `all_to_all` of halo
+# volume values per operator apply, psum dot products, no all-gathers.
+
+
+class ParallelContext:
+    """Driver-side distributed state.  [parallelism] options:
+
+        enable    = auto|1|0   (auto: on when >1 device is visible)
+        n_devices = <int>      (default: all global devices)
+        multihost = 1          (jax.distributed init first, `driver.c:17`
+                                PetscInitialize role)
+    """
+
+    def __init__(self, n_devices, dev_mesh):
+        self.n_dev = n_devices
+        self.dev_mesh = dev_mesh
+
+    @staticmethod
+    def from_options(opts: Options):
+        enable = str(opts.get("parallelism", "enable", "auto")).lower()
+        if enable in ("0", "false", "no", "off"):
+            return None
+        if opts.get("parallelism", "multihost", False, cast=bool):
+            from disco4est_tpu.parallel.multihost import init_multihost
+
+            init_multihost()
+        devices = jax.devices()
+        n = opts.get_int("parallelism", "n_devices", len(devices))
+        if n > len(devices):
+            raise ValueError(
+                f"[parallelism] n_devices = {n} but only "
+                f"{len(devices)} devices are visible"
+            )
+        if n <= 1:
+            if enable in ("1", "true", "yes", "on"):
+                raise ValueError(
+                    "[parallelism] enable = 1 requires more than one device"
+                )
+            return None
+        from disco4est_tpu.parallel.sharding import element_mesh
+
+        return ParallelContext(n, element_mesh(devices[:n]))
+
+    def distribute(self, mesh: MeshData) -> "DistributedEpoch":
+        """Node-weighted SFC layout + padded shard + halo program for one
+        mesh epoch (`p4est_partition_ext` with node weights +
+        `d4est_ghost_init`)."""
+        from disco4est_tpu.parallel.halo import build_halo_program
+        from disco4est_tpu.parallel.repartition import (
+            PaddedLayout,
+            pad_mesh_to_layout,
+        )
+        from disco4est_tpu.parallel.sharding import shard_mesh_data
+
+        weights = (np.asarray(mesh.deg_e) + 1) ** mesh.dim
+        layout = PaddedLayout.build(weights, self.n_dev)
+        mesh_p = pad_mesh_to_layout(mesh, layout)
+        halo = build_halo_program(mesh_p, self.n_dev)
+        mesh_s = shard_mesh_data(mesh_p, self.dev_mesh)
+        return DistributedEpoch(self, layout, mesh_s, halo, mesh.n_elements)
+
+
+class DistributedEpoch:
+    """Per-mesh-epoch distributed state: layout + sharded padded mesh +
+    halo program, with field migration in/out of the layout."""
+
+    def __init__(self, ctx, layout, mesh_s, halo, E):
+        self.ctx = ctx
+        self.layout = layout
+        self.mesh_s = mesh_s
+        self.halo = halo
+        self.E = E
+
+    def to_dev(self, field):
+        """global-SFC field [E, ...] -> sharded padded [n*Bmax, ...]."""
+        from disco4est_tpu.parallel.repartition import migrate_field
+        from disco4est_tpu.parallel.sharding import shard_field
+
+        return shard_field(migrate_field(field, self.layout), self.ctx.dev_mesh)
+
+    def to_host(self, field_p):
+        """sharded padded -> global-SFC order."""
+        from disco4est_tpu.parallel.repartition import unmigrate_field
+
+        return unmigrate_field(field_p, self.layout, self.E)
+
+
+@_ft.partial(jax.jit, static_argnames=("dev_mesh", "hp", "flexible"))
+def _linear_solve_halo(mesh, halo, rhs, x0, dev_mesh, hp=False,
+                       flexible=False):
+    """Distributed CG/FCG: every apply is the shard_map halo program,
+    dot products lower to psum (`d4est_solver_cg.c:139` sc_allreduce)."""
+    from disco4est_tpu.parallel.halo import (
+        apply_sipg_halo,
+        apply_sipg_hp_halo,
+    )
+
+    ap = apply_sipg_hp_halo if hp else apply_sipg_halo
+
+    def A(v):
+        return ap(mesh, halo, v, dev_mesh)
+
+    solver = fcg_solve if flexible else cg_solve
+    return solver(A, rhs, x0=x0, atol=5e-15, rtol=1e-20, max_iter=100000)
+
+
+@_ft.partial(
+    jax.jit,
+    static_argnames=("dev_mesh", "inner_rtol", "inner_max_iter", "max_outer"),
+)
+def _linear_solve_mixed_halo(mesh, mesh32, halo, halo32, rhs, x0, dev_mesh,
+                             inner_rtol=1e-6, inner_max_iter=20000,
+                             max_outer=60):
+    """Distributed mixed-precision refinement: both the f64 outer apply
+    and the f32 inner CG run through the halo program."""
+    from disco4est_tpu.parallel.halo import apply_sipg_halo
+    from disco4est_tpu.solvers.mixed import mixed_refine_solve
+
+    def A64(v):
+        return apply_sipg_halo(mesh, halo, v, dev_mesh)
+
+    def A32(v):
+        return apply_sipg_halo(mesh32, halo32, v, dev_mesh)
+
+    return mixed_refine_solve(
+        A64, rhs, x0=x0, A32=A32, atol=5e-15, rtol=1e-20,
+        inner_rtol=inner_rtol, inner_max_iter=inner_max_iter,
+        max_outer=max_outer,
+    )
+
+
 def run_poisson(opts: Options, problem) -> DriverResult:
     """Linear Poisson AMR-solve loop on the configured geometry."""
     from disco4est_tpu.quadrature.quadrature import Quadrature
@@ -331,6 +471,7 @@ def run_poisson(opts: Options, problem) -> DriverResult:
         raise ValueError(f"unknown pc_type: {pc_type!r}")
     ckpt = _Checkpointer(opts)
     amr_history = []
+    par = ParallelContext.from_options(opts)
 
     forest = Forest.uniform(geom.conn, level)
     norms = NormLog()
@@ -483,6 +624,17 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                     _b[0], _b[1], 8,
                 )
 
+        # distributed production path: [parallelism] routes the solve
+        # through the node-weighted layout + shard_map halo program
+        dist = None
+        if (
+            par is not None
+            and pc_type == "none"
+            and not (ckpt.prefix and ckpt.every_n)
+            and not (it == it0 and resume_u is not None)
+        ):
+            dist = par.distribute(mesh)
+
         if it == it0 and resume_u is not None:
             # restart: the checkpoint stored the POST-solve iterate of
             # this level — skip the solve and continue the AMR loop
@@ -494,6 +646,33 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                 if mixed
                 else u_max
             )
+        elif dist is not None:
+            rhs_p = dist.to_dev(rhs)
+            x0_p = dist.to_dev(x0)
+            if mixed:
+                res = _linear_solve_halo(
+                    dist.mesh_s, dist.halo, rhs_p, x0_p, par.dev_mesh,
+                    hp=True,
+                )
+            elif use_mixed:
+                from disco4est_tpu.solvers.mixed import mesh_astype
+
+                mesh32 = mesh_astype(dist.mesh_s, jnp.float32)
+                halo32 = mesh_astype(dist.halo, jnp.float32)
+                res = _linear_solve_mixed_halo(
+                    dist.mesh_s, mesh32, dist.halo, halo32, rhs_p, x0_p,
+                    par.dev_mesh, **mixed_opts,
+                )
+                if int(res.outer_iterations) >= mixed_opts["max_outer"]:
+                    res = _linear_solve_halo(
+                        dist.mesh_s, dist.halo, rhs_p, x0_p, par.dev_mesh
+                    )
+            else:
+                res = _linear_solve_halo(
+                    dist.mesh_s, dist.halo, rhs_p, x0_p, par.dev_mesh,
+                    flexible=(ksp == "fcg"),
+                )
+            res = res._replace(x=dist.to_host(res.x))
         elif ckpt.prefix and ckpt.every_n:
             # mid-solve checkpointing path: chunked Krylov with EXACT
             # state resume (`krylov_petsc.c:236-245` role).  Works with
@@ -661,6 +840,10 @@ class CDSProblem:
         params = self.params
         return lambda xyz, u0q: -10.0 * jnp.pi * params.rho(*xyz) * u0q**4
 
+    def fof(self):
+        params = self.params
+        return lambda xyz, uq: -2.0 * jnp.pi * params.rho(*xyz) * uq**5
+
 
 class OkendonProblem:
     """Okendon p-laplacian-type adapter (`Problems/Okendon/`)."""
@@ -698,6 +881,10 @@ class OkendonProblem:
         return lambda xyz, u0q: params.p / (
             u0q * u0q + 1e-300
         ) ** (0.5 * (1.0 - params.p))
+
+    def fof(self):
+        params = self.params
+        return lambda xyz, uq: (uq * uq + 1e-300) ** (0.5 * params.p)
 
 
 class TwoPuncturesProblem:
@@ -743,6 +930,16 @@ class TwoPuncturesProblem:
             return 0.875 * params.KK(x, y, z) / psi**8
 
         return dfof
+
+    def fof(self):
+        params = self.params
+
+        def fof(xyz, u_q):
+            x, y, z = xyz
+            psi = params.psi_puncture(x, y, z, u_q)
+            return -0.125 * params.KK(x, y, z) / psi**7
+
+        return fof
 
 
 def _vtk_maybe(opts, mesh, it, fields, cells=None):
@@ -891,6 +1088,7 @@ def run_nonlinear(opts: Options, problem) -> DriverResult:
     amr_history = []
     it0 = 0
     resume_u = None
+    par = ParallelContext.from_options(opts)
 
     rs = _restart_state(opts, geom)
     if rs is not None:
@@ -1004,6 +1202,63 @@ def run_nonlinear(opts: Options, problem) -> DriverResult:
             if ckpt.every_n and k % ckpt.every_n == 0:
                 ckpt.save_midsolve(_forest, _it, k, u_k, deg)
 
+        # --- distributed Newton-Krylov (`driver.c` MPI role) -------------
+        # residual = halo SIPG apply (+ migrated A(0;g) part for Dirichlet
+        # data) + element-LOCAL nonlinear mass term; Jacobian = halo apply
+        # + local frozen-u0 mass term.  The hot Krylov loop is all_to_all
+        # + psum only.
+        dist = None
+        if par is not None and pc_type == "none" and not (
+            it == it0 and resume_u is not None
+        ):
+            from disco4est_tpu.laplacian.nonlinear import (
+                apply_mass_fof,
+                apply_mass_fof_lin,
+            )
+            from disco4est_tpu.parallel.halo import apply_sipg_halo
+
+            dist = par.distribute(mesh)
+            robin = problem.bc_type == "robin"
+            rc_p = dist.to_dev(bc) if robin else None
+            if robin:
+                Lg_p = None
+            else:
+                Lg = jax.jit(
+                    lambda m, g_: apply_sipg(
+                        m,
+                        jnp.zeros(
+                            (m.deg_e.shape[0],) + (m.deg + 1,) * m.dim,
+                            g_.dtype,
+                        ),
+                        g_,
+                    )
+                )(mesh, bc)
+                Lg_p = dist.to_dev(Lg)
+            fof = problem.fof()
+            dfof = problem.dfof()
+            _ms, _h, _dm = dist.mesh_s, dist.halo, par.dev_mesh
+
+            @jax.jit
+            def res_halo(u_p):
+                r = apply_sipg_halo(
+                    _ms, _h, u_p, _dm, robin_coeff=rc_p
+                ) + apply_mass_fof(_ms, u_p, fof)
+                if Lg_p is not None:
+                    r = r + Lg_p
+                return r
+
+            @jax.jit
+            def jac_solve_halo(u0_p, rhs_p, rtol):
+                def A(v):
+                    return apply_sipg_halo(
+                        _ms, _h, v, _dm, robin_coeff=rc_p
+                    ) + apply_mass_fof_lin(_ms, u0_p, v, dfof)
+
+                solver = fcg_solve if ksp == "fcg" else cg_solve
+                return solver(
+                    A, rhs_p, atol=0.0, rtol=rtol, max_iter=ksp_iters
+                ).x
+
         if it == it0 and resume_u is not None:
             # restart from checkpoint: reuse the stored post-solve iterate
             u = resume_u
@@ -1017,6 +1272,17 @@ def run_nonlinear(opts: Options, problem) -> DriverResult:
                 )
 
             res = _Res()
+        elif dist is not None:
+            res = newton_solve(
+                res_halo,
+                jac_solve_halo,
+                dist.to_dev(u),
+                newton_params,
+                callback=lambda k, u_k, fn: newton_cb(
+                    k, dist.to_host(u_k), fn
+                ),
+            )
+            u = dist.to_host(res.u)
         else:
             res = newton_solve(
                 lambda v: problem.residual(mesh, v, bc),

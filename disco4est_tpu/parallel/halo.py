@@ -461,7 +461,8 @@ def build_halo_program(mesh: MeshData, n_dev: int) -> HaloProgram:
     )
 
 
-def apply_sipg_halo(mesh: MeshData, halo: HaloProgram, u, dev_mesh: Mesh):
+def apply_sipg_halo(mesh: MeshData, halo: HaloProgram, u, dev_mesh: Mesh,
+                    robin_coeff=None):
     """Halo-exchange SIPG apply: jit(shard_map(...)) over the "e" axis.
 
     `mesh` arrays and `u` must be sharded over `dev_mesh`; returns Au with
@@ -486,12 +487,13 @@ def apply_sipg_halo(mesh: MeshData, halo: HaloProgram, u, dev_mesh: Mesh):
     _, wq1 = mesh.quad.nodes_weights(deg_quad)
     wf = tensor.tensor_weights([wq1] * (dim - 1), dtype=dtype)
     hanging = halo.Mc > 0 or halo.Mf > 0
+    use_robin = robin_coeff is not None
     K2 = 1 << (dim - 1)
 
     def body(
         u_l, wjgg, face_drst, face_n, face_sj, sigma, bnd, cmask_in,
         nbr_face, perm_l, perm_q,
-        send_idx, recv_pos, nbr_local, halo_fd, hang,
+        send_idx, recv_pos, nbr_local, halo_fd, hang, robin,
     ):
         # shard_map passes blocks with the sharded axis REMOVED only for
         # rank-reduced specs; we use full specs so leading dims are local.
@@ -581,6 +583,15 @@ def apply_sipg_halo(mesh: MeshData, halo: HaloProgram, u, dev_mesh: Mesh):
         # or [B, 2d, nfq...] (pointwise j_div_sj_quad)
         term3 = sj * sigma.astype(dtype) * jump
 
+        if use_robin:
+            # Robin BC ∂u/∂n + c·u = r replaces ALL boundary flux terms
+            # by ∫ sj·c·u·v (`d4est_laplacian_flux_sipg_robin_aux`);
+            # boundary faces are shard-local so no exchange is involved
+            robin_term = sj * robin.astype(dtype) * u_m_q
+            term1 = jnp.where(bnd_b, robin_term, term1)
+            term2 = jnp.where(bnd_b[:, :, None], 0.0, term2)
+            term3 = jnp.where(bnd_b, 0.0, term3)
+
         vt1 = _face_apply(Vq.T, wf * term1, dim)
         vt2 = _face_apply(Vq.T, wf * term2, dim)
         vt3 = _face_apply(Vq.T, wf * term3, dim)
@@ -640,11 +651,16 @@ def apply_sipg_halo(mesh: MeshData, halo: HaloProgram, u, dev_mesh: Mesh):
         if mesh.sigma_q is not None
         else mesh.sigma.reshape(mesh.sigma.shape + (1,) * (dim - 1))
     )
+    robin_arg = (
+        robin_coeff
+        if use_robin
+        else jnp.zeros(mesh.sigma.shape + (1,) * (dim - 1), dtype)
+    )
     e_spec = P("e")
     mapped = shard_map(
         body,
         mesh=dev_mesh,
-        in_specs=(e_spec,) * 15 + (e_spec,),
+        in_specs=(e_spec,) * 17,
         out_specs=e_spec,
     )
     return mapped(
@@ -652,7 +668,7 @@ def apply_sipg_halo(mesh: MeshData, halo: HaloProgram, u, dev_mesh: Mesh):
         sigma_arg, mesh.bnd_mask, mesh.conf_mask, mesh.nbr_face,
         mesh.perm_l, mesh.perm_q,
         halo.send_idx, halo.recv_pos, halo.nbr_local, halo.halo_face_drst,
-        hang_args,
+        hang_args, robin_arg,
     )
 
 
