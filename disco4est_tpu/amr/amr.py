@@ -122,6 +122,50 @@ def transfer_field_p(u, deg_old: int, deg_new: int, dim: int):
     return tensor.apply_iso(jnp.asarray(P, u.dtype), u, dim)
 
 
+def p_balance_log(
+    mesh,
+    deg_e: np.ndarray,
+    refinement_log: np.ndarray,
+    p_balance_if_diff: int,
+    max_degree: int,
+    predictor: np.ndarray | None = None,
+    gamma_p: float = 1.0,
+):
+    """Degree-jump limiting across faces (`hpAMR/d4est_amr.c:917-991`):
+    for each element, p_balance[e] = max over its faces (conforming AND
+    hanging) of (neighbor_deg − own_deg); when that jump ≥
+    `p_balance_if_diff` and deg < max_degree − 1, the refinement log is
+    bumped one degree (h-marked elements get one higher child degree).
+
+    With a `predictor` (smooth_pred), bumped elements additionally get
+    predictor *= gamma_p (`d4est_amr_smooth_pred_compute_post_p_balance_
+    predictor`).  Returns (new_log, new_predictor)."""
+    deg = np.asarray(deg_e, np.int64)
+    log = np.asarray(refinement_log, np.int64).copy()
+    E = deg.shape[0]
+    nbr = np.asarray(mesh.nbr_elem)
+    conf = np.asarray(mesh.conf_mask) & ~np.asarray(mesh.bnd_mask)
+    jump = np.where(conf, deg[nbr] - deg[:, None], 0).max(axis=1)
+    ce = np.asarray(mesh.hc_elem)
+    fe = np.asarray(mesh.hc_fine)
+    if ce.size:
+        # coarse side sees each fine partner; each fine side sees the coarse
+        np.maximum.at(jump, ce, (deg[fe] - deg[ce][:, None]).max(axis=1))
+        np.maximum.at(
+            jump,
+            fe.reshape(-1),
+            (deg[ce][:, None] - deg[fe]).reshape(-1),
+        )
+    bump = (jump >= p_balance_if_diff) & (deg < max_degree - 1)
+    log[bump & (log < 0)] -= 1
+    log[bump & (log >= 0)] += 1
+    pred = predictor
+    if predictor is not None:
+        pred = np.asarray(predictor).copy()
+        pred[bump] *= gamma_p
+    return log, pred
+
+
 def amr_step(
     forest: Forest,
     refinement_log: np.ndarray,

@@ -815,6 +815,19 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                 eta2, deg_e, sp_state, sp_params, dim=mesh.dim
             )
             sp_state = SmoothPredState(pred)
+        # optional degree-jump limiting ([amr] p_balance_if_diff,
+        # `hpAMR/d4est_amr.c:917-991` + the smooth_pred post-p-balance
+        # predictor update)
+        p_bal = opts.get_int("amr", "p_balance_if_diff", -1)
+        if p_bal > 0:
+            from disco4est_tpu.amr.amr import p_balance_log
+
+            log, pred = p_balance_log(
+                mesh, deg_e, log, p_bal, max_degree,
+                predictor=pred, gamma_p=sp_params.gamma_p,
+            )
+            if pred is not None:
+                sp_state = SmoothPredState(pred)
         amr_history.append(np.asarray(log))
         new_forest, new_deg_e, fields, new_storage = amr_step_hp(
             forest, deg_e, log, {"u": u}, storage, max_degree

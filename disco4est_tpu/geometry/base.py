@@ -84,6 +84,16 @@ class Geometry:
     # volume factor matrix wjgg is diagonal and the fast GEMM-form apply
     # (laplacian/fast.py) uses 3 volume blocks instead of 6.
     is_orthogonal: bool = False
+    # geometry regions (`d4est_geometry.h:117-118` get_region API): tree →
+    # region id, used by per-region estimator stats and per-region degree
+    # assignment.  Default: one region.
+    n_regions: int = 1
+
+    def tree_region(self, tree):
+        """Region id per tree: array-in, array-out (default all 0)."""
+        import numpy as _np
+
+        return _np.zeros_like(_np.asarray(tree), dtype=_np.int32)
 
     def x(self, tree, rst):
         """Physical coordinates; rst [..., dim] -> [..., dim]."""

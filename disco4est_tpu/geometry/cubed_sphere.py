@@ -63,6 +63,12 @@ class CubedSphereGeometry(Geometry):
         self.compactify_outer = bool(compactify_outer_shell)
         self.compactify_inner = bool(compactify_inner_shell)
         self.Clength = self.R0 / np.sqrt(3.0)
+        # regions follow `d4est_geometry_cubed_sphere_get_region`
+        # (reference :42-67): 13tree {outer=0, inner=1, core=2},
+        # 7tree {inner=0, core=1}; 12tree_hole {outer=0, inner=1}
+        self.n_regions = {"13tree": 3, "7tree": 2, "12tree_hole": 2}.get(
+            kind, 1
+        )
         if kind == "13tree":
             t2t, t2f, verts = sphere13_data()
             self.n_outer = 6
@@ -100,6 +106,18 @@ class CubedSphereGeometry(Geometry):
         return hash(self._key())
 
     # ------------------------------------------------------------------
+
+    def tree_region(self, tree):
+        t = np.asarray(tree)
+        if self.kind == "13tree":
+            return np.where(t < 6, 0, np.where(t < 12, 1, 2)).astype(
+                np.int32
+            )
+        if self.kind == "7tree":
+            return np.where(t < 6, 0, 1).astype(np.int32)
+        if self.kind == "12tree_hole":
+            return np.where(t < 6, 0, 1).astype(np.int32)
+        return np.zeros_like(t, dtype=np.int32)
 
     def x(self, tree, rst):
         """rst in [0,1]^3 tree coords -> physical xyz.

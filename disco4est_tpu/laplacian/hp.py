@@ -174,3 +174,77 @@ def build_rhs_with_strong_bc_hp(mesh: MeshData, f, g):
 apply_sipg_hp_jit = jax.jit(
     apply_sipg_hp, static_argnames=("neighbors", "volume_mode")
 )
+
+
+# ---------------------------------------------------------------------------
+# Own-degree (reference) conventions on hp meshes
+# ---------------------------------------------------------------------------
+#
+# The reference computes per-element quantities at the element's OWN
+# degree (`d4est_mesh.c:2299` L2 on own deg_quad; the bi estimator's
+# volume term measures the own-basis residual vector,
+# `d4est_estimator_bi_new.c:437-489`).  On affine meshes every quadrature
+# involved is exact for the polynomial integrands, so the own-degree
+# values are reproduced WITHOUT per-degree kernels: take the field's
+# own-space nodal values (its hp coefficients), apply the nonpolynomial
+# step there (|·| sampling, residual dual transform), then embed with the
+# exact prolongation P and integrate at storage degree.
+
+
+def init_field_own(mesh: MeshData, fcn):
+    """Evaluate `fcn` at each element's OWN-degree Lobatto nodes, padded
+    into the storage-degree corner block (`d4est_mesh_init_field` on hp
+    meshes samples at per-element nodes)."""
+    from disco4est_tpu.mesh.builder import _positions, _tensor_points
+
+    dim = mesh.dim
+    nl = mesh.deg + 1
+    deg_e = np.asarray(mesh.deg_e)
+    E = deg_e.shape[0]
+    forest = mesh.forest
+    from disco4est_tpu.mesh.tree import ROOT
+
+    tree = jnp.asarray(forest.tree, jnp.int32)
+    anchor = jnp.asarray(forest.anchor, jnp.float64) / ROOT
+    hfrac = jnp.asarray(2.0 ** -forest.level.astype(np.float64))
+    out = np.zeros((E,) + (nl,) * dim)
+    for d in np.unique(deg_e):
+        idx = np.where(deg_e == d)[0]
+        pts = _tensor_points(DB.ops(int(d)).lobatto_nodes, dim)
+        xyz = _positions(
+            mesh.geom, tree[jnp.asarray(idx)], anchor[jnp.asarray(idx)],
+            hfrac[jnp.asarray(idx)], pts,
+        )  # [Ed, (d+1)...,dim]
+        vals = np.asarray(
+            fcn(*[xyz[..., c] for c in range(dim)])
+        )
+        out[np.ix_(idx, *[range(int(d) + 1)] * dim)] = vals
+    return jnp.asarray(out)
+
+
+def l2_norm_sqr_own(mesh: MeshData, v_own):
+    """Per-element ∫ v² J dV where v is the own-degree polynomial with
+    padded nodal coefficients `v_own` — exact storage-degree integration
+    of the embedded function (affine meshes: identical to the reference's
+    own-deg-quad value)."""
+    return mesh.l2_norm_sqr(to_max(mesh, v_own * own_mask(mesh, v_own.dtype)))
+
+
+def norm_L2_interp_abs_own(mesh: MeshData, u_max, analytic_fcn):
+    """The reference regression 'L2': nodal ABSOLUTE error sampled at each
+    element's OWN Lobatto nodes, interpolated as an own-degree polynomial,
+    then L2-integrated (`d4est_linalg_vec_fabsdiff` + `compute_l2_norm_sqr`
+    at own degree).  `u_max` is the storage-degree solution field."""
+    u_own = restrict_to_own(mesh, u_max)  # exact: u is in the hp space
+    ua_own = init_field_own(mesh, analytic_fcn).astype(u_max.dtype)
+    e_abs = jnp.abs(u_own - ua_own)
+    return jnp.sqrt(jnp.sum(l2_norm_sqr_own(mesh, e_abs)))
+
+
+def residual_own_embedded(mesh: MeshData, F_max):
+    """The reference estimator's volume-term residual function: the
+    OWN-basis residual vector Pᵀ F interpreted as nodal values of an
+    own-degree polynomial, embedded back to storage degree
+    (`d4est_estimator_bi_new.c:437` measures Au−rhs in the element's own
+    basis).  Pass the result as `estimate_bi`'s residual for hp parity."""
+    return to_max(mesh, adjoint_to_own(mesh, F_max))
