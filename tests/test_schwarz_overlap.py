@@ -134,3 +134,91 @@ def test_schwarz_smoother_contracts():
     x = overlap_schwarz_smooth(A, M, b, x, iterations=3)
     r1 = float(jnp.linalg.norm((b - A(x)).reshape(-1)))
     assert r1 < 0.2 * r0
+
+
+# ---------------------------------------------------------------------------
+# K-slot gather variant (VERDICT r4 #4: memory-scalable Schwarz)
+# ---------------------------------------------------------------------------
+
+
+def test_kslot_matches_materialized_conforming():
+    """Chunked K-slot apply == materialized replicated apply (brick)."""
+    from disco4est_tpu.solvers.schwarz_overlap import (
+        build_overlapping_schwarz,
+        build_overlapping_schwarz_kslot,
+    )
+
+    geom = BrickGeometry(dim=3)
+    forest = Forest.uniform(geom.conn, 1)
+    mesh = build_mesh(geom, forest, deg=3)
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.standard_normal((8, 4, 4, 4)))
+    M1 = build_overlapping_schwarz(mesh, num_nodes_overlap=2, iterations=5)
+    M2 = build_overlapping_schwarz_kslot(
+        mesh, num_nodes_overlap=2, iterations=5, chunk=3
+    )
+    assert float(jnp.max(jnp.abs(M1(r) - M2(r)))) < 1e-12
+
+
+def test_kslot_matches_materialized_hanging_and_sphere():
+    """K-slot on hanging meshes (mortar rows cross chunk-local slots) and
+    on the curved 13-tree sphere with pointwise sigma."""
+    from disco4est_tpu.solvers.schwarz_overlap import (
+        build_overlapping_schwarz,
+        build_overlapping_schwarz_kslot,
+    )
+    from disco4est_tpu.geometry.cubed_sphere import CubedSphereGeometry
+
+    geom = BrickGeometry(dim=3)
+    forest = Forest.uniform(geom.conn, 1)
+    flags = np.zeros(8, bool)
+    flags[0] = True
+    forest = forest.refine(flags).balance()
+    mesh = build_mesh(geom, forest, deg=2)
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(rng.standard_normal((mesh.n_elements, 3, 3, 3)))
+    M1 = build_overlapping_schwarz(mesh, num_nodes_overlap=1, iterations=4)
+    M2 = build_overlapping_schwarz_kslot(
+        mesh, num_nodes_overlap=1, iterations=4, chunk=4
+    )
+    assert float(jnp.max(jnp.abs(M1(r) - M2(r)))) < 1e-12
+
+    geom_s = CubedSphereGeometry("13tree", R0=1.0, R1=2.0, R2=3.0)
+    forest_s = Forest.uniform(geom_s.conn, 0)
+    mesh_s = build_mesh(geom_s, forest_s, deg=2,
+                        face_h_type="j_div_sj_quad")
+    r_s = jnp.asarray(
+        rng.standard_normal((mesh_s.n_elements, 3, 3, 3))
+    )
+    M1s = build_overlapping_schwarz(mesh_s, num_nodes_overlap=2,
+                                    iterations=6)
+    M2s = build_overlapping_schwarz_kslot(
+        mesh_s, num_nodes_overlap=2, iterations=6, chunk=5
+    )
+    assert float(jnp.max(jnp.abs(M1s(r_s) - M2s(r_s)))) < 1e-12
+
+
+def test_kslot_memory_footprint():
+    """Resident K-slot state is a small fraction of the base mesh
+    (the materialized variant is ~27x it)."""
+    import jax as _jax
+    from disco4est_tpu.solvers.schwarz_overlap import (
+        build_overlapping_schwarz_kslot,
+    )
+
+    geom = BrickGeometry(dim=3)
+    forest = Forest.uniform(geom.conn, 2)
+    mesh = build_mesh(geom, forest, deg=2)
+    ks = build_overlapping_schwarz_kslot(
+        mesh, num_nodes_overlap=2, iterations=1, chunk=16
+    )
+    own = [ks.member, ks.valid, ks.codes, ks.mask_table, ks.weight_table,
+           ks.nbr_slot, ks.bnd, ks.conf]
+    own += list(_jax.tree_util.tree_leaves(ks.hc))
+    ks_bytes = sum(l.size * l.dtype.itemsize for l in own)
+    mesh_bytes = sum(
+        l.size * l.dtype.itemsize
+        for l in _jax.tree_util.tree_leaves(mesh)
+        if hasattr(l, "size")
+    )
+    assert ks_bytes < 0.5 * mesh_bytes, (ks_bytes, mesh_bytes)
