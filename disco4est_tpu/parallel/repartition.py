@@ -57,9 +57,12 @@ def sfc_partition(weights: np.ndarray, n_dev: int) -> np.ndarray:
     return counts
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class PaddedLayout:
-    """A weighted SFC partition as a padded SPMD layout."""
+    """A weighted SFC partition as a padded SPMD layout.
+
+    `eq=False`: identity hash/eq so layouts can ride as jit-static aux
+    metadata (the np index arrays would otherwise break hashing)."""
 
     n_dev: int
     Bmax: int

@@ -87,10 +87,19 @@ class MGLevelMap:
         )
 
 
+def _mglm_unflatten(aux, ch):
+    # raw reconstruction: unflatten must not call jnp.asarray on the
+    # children (jit lowering passes ArgInfo placeholders through pytrees)
+    obj = object.__new__(MGLevelMap)
+    obj.src, obj.bits, obj.copy = ch
+    obj.n_coarse = aux
+    return obj
+
+
 jax.tree_util.register_pytree_node(
     MGLevelMap,
     lambda m: ((m.src, m.bits, m.copy), m.n_coarse),
-    lambda aux, ch: MGLevelMap(*ch, n_coarse=aux),
+    _mglm_unflatten,
 )
 
 

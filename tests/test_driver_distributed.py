@@ -152,3 +152,22 @@ def test_driver_mixed_structured_path():
     a = ref.norms.rows[-1]["L_2"]
     b = got.norms.rows[-1]["L_2"]
     assert abs(a - b) <= 1e-10 * max(1.0, abs(a)), (a, b)
+
+
+def test_distributed_mg_pc_matches_single_device():
+    """pc_type=multigrid under [parallelism]: the shard-resident V-cycle
+    PC (per-level halos, all_to_all transfers) reproduces the
+    single-device MG-FCG digits."""
+    base = _COMMON.format(
+        par=0, scheme="uniform_h", steps=1, mixed=0, maxdeg=2
+    ).replace("ksp_type = cg", "ksp_type = fcg\npc_type = multigrid")
+    ref = run_poisson(Options.load(base), SinxProblem)
+    par = run_poisson(
+        Options.load(base.replace("enable = 0", "enable = auto")),
+        SinxProblem,
+    )
+    for a, b in zip(
+        [r["L_2"] for r in ref.norms.rows],
+        [r["L_2"] for r in par.norms.rows],
+    ):
+        assert abs(a - b) <= 1e-10 * max(1.0, abs(a)), (a, b)
