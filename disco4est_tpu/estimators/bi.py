@@ -53,8 +53,11 @@ def _prefactors(mesh: MeshData, penalty_prefactor: float, flavor: str):
     return c_grad2, c_u2, c_u2_dirichlet
 
 
-@jax.jit
-def _estimate_bi_impl(mesh: MeshData, u, residual, g, pf):
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("vol_h",))
+def _estimate_bi_impl(mesh: MeshData, u, residual, g, pf, vol_h="cube_approx"):
     dim, deg, deg_quad = mesh.dim, mesh.deg, mesh.deg_quad
     nl, nq = deg + 1, deg_quad + 1
     E = u.shape[0]
@@ -72,7 +75,10 @@ def _estimate_bi_impl(mesh: MeshData, u, residual, g, pf):
             axis=(1, 2),
         )
     )
-    h_vol = diam / np.sqrt(dim)
+    # volume h option (`d4est_mesh_data_compute_volume_diam`):
+    # VOL_H_EQ_DIAM = max pairwise Lobatto distance; CUBE_APPROX divides
+    # by sqrt(dim).  TwoPunctures configs use DIAM.
+    h_vol = diam if vol_h == "diam" else diam / np.sqrt(dim)
     p_e = mesh.deg_e.astype(dtype)
     eta2 = (h_vol / p_e) ** 2 * mesh.l2_norm_sqr(residual)
 
@@ -206,6 +212,9 @@ def _estimate_bi_impl(mesh: MeshData, u, residual, g, pf):
     return eta2
 
 
-def estimate_bi(mesh: MeshData, u, residual, g=None, penalty_prefactor=2.0):
-    """η² per element [E].  `residual` = Au − rhs (nodal)."""
-    return _estimate_bi_impl(mesh, u, residual, g, penalty_prefactor)
+def estimate_bi(mesh: MeshData, u, residual, g=None, penalty_prefactor=2.0,
+                vol_h="cube_approx"):
+    """η² per element [E].  `residual` = Au − rhs (nodal).
+    `vol_h`: volume-h option for the residual term ("cube_approx" or
+    "diam", `Mesh/d4est_mesh.h:31-49` VOL_H_EQ_*)."""
+    return _estimate_bi_impl(mesh, u, residual, g, penalty_prefactor, vol_h)

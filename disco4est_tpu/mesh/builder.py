@@ -511,6 +511,16 @@ def build_mesh(
             )
         )
 
+    # store the SELECTED h as mesh.face_h — the reference's hm arrays
+    # carry the configured face_h_type, and estimator prefactors read
+    # them (`d4est_mesh.c:1808` j_div_sj_min → `_estimator_bi.c:216-233`).
+    # Before round 5 this stayed volume/area for every mode — invisible
+    # on bricks (the modes coincide there, which is why Stamm/CDS
+    # matched) but wrong on curved shells (TP trajectory estimator was
+    # 139x off).
+    if face_h_type != "volume_div_area":
+        fac["face_h"] = jnp.asarray(h_scalar)
+
     # --- hanging mortar tables ------------------------------------------
     M = len(ft.hc_elem)
     K = 1 << (dim - 1)

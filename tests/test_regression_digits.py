@@ -308,22 +308,37 @@ def test_stamm_hp_amr_trajectory():
         gamma_h=10.0, gamma_p=0.1, gamma_n=1.0, marker="mean",
         sigma=0.25, max_degree=7, initial_pred=0.0,
     )
-    # (E, true_nodes, L2_ref, est_ref, l2_tol, est_tol).  Levels 0-3
-    # match the oracle to >= 10 digits.  Level 4 is the first
-    # MIXED-DEGREE mesh: the MARKING still matches the reference
-    # element-exactly (512 elements, 27440 nodes; level 5 = 1352/95504
-    # matches too, verified offline), but the printed norms use
-    # per-element OWN-degree quadrature/|e| interpolation in the
-    # reference vs our storage-degree convention: est agrees to ~0.6%,
-    # L2(|e|) differs by ~2x by convention (we additionally pin OUR
-    # value 1.2941309327065e-6 against drift).
+    # (E, true_nodes, L2_ref, est_ref, l2_tol, est_tol).  Mixed-degree
+    # levels use the reference's OWN-degree conventions (laplacian/hp.py:
+    # f sampled at per-element Lobatto nodes = INIT_FIELD_ON_LOBATTO, L2
+    # of interp|e| at own degree, estimator residual in the own basis) —
+    # with them EVERY recorded oracle row reproduces to >= 10 digits
+    # through level 5 and the smooth_pred marking matches element-exactly
+    # through level 7 (1520 elements at level 6, where the old
+    # storage-degree convention diverged to 1688; see
+    # test_stamm_deep_trajectory for levels 6-7).
     oracle = [
         (1, 27, 4.999999999999999e-01, 8.411163231756122e00, 1e-10, 1e-10),
         (8, 216, 1.0275938426558613e-04, 3.4281941578298671e-03, 1e-10, 1e-10),
         (64, 1728, 8.0763868619692208e-06, 8.7418772785858201e-04, 1e-10, 1e-10),
         (456, 12312, 3.8789115402296782e-06, 2.8744364809238571e-04, 1e-10, 1e-10),
-        (512, 27440, 1.2941309327065223e-06, 8.5167767629483828e-05, 1e-10, 1e-2),
+        (512, 27440, 6.042615297480418e-07, 8.516776762948383e-05, 1e-10, 1e-10),
+        (1352, 95504, 9.43171338940422e-08, 1.773498989361e-05, 5e-10, 5e-10),
     ]
+    # Levels 6-7 (the deepest recorded oracle rows) add ~20 min of plain
+    # CG solving; enable with DISCO4EST_DEEP_TESTS=1.  Verified in round
+    # 5: marking element-exact (1520 elems both levels), est to 9-12
+    # digits, L2 to 8-9 digits — the L2 values are ~1e-9 where both
+    # sides' 1e-15 solver floors already contribute at that scale.
+    import os
+
+    if os.environ.get("DISCO4EST_DEEP_TESTS"):
+        oracle += [
+            (1520, 141872, 2.9678033363170958e-09,
+             2.1615679616413724e-06, 5e-9, 1e-10),
+            (1520, 224864, 5.9433721417322740e-10,
+             2.6015502608406779e-07, 5e-8, 1e-9),
+        ]
 
     forest = Forest.uniform(geom.conn, 0)
     deg_e = np.full(1, 2, np.int32)
@@ -339,13 +354,24 @@ def test_stamm_hp_amr_trajectory():
             face_h_type="tree_h", deg_e=deg_e,
         )
         g = mesh.boundary_values(prob.boundary)
-        f = mesh.init_field(prob.rhs)
-        rhs_max = _rhs(mesh, f, g)
         if u is None:
             u = mesh.init_field(lambda x, y, z: 0.5 * jnp.ones_like(x))
-        ua = mesh.init_field(prob.analytic)
-        l2 = float(jnp.sqrt(jnp.sum(mesh.l2_norm_sqr(jnp.abs(u - ua)))))
-        F = _apply(mesh, u) - rhs_max
+        from disco4est_tpu.laplacian.hp import (
+            adjoint_to_own,
+            apply_mass_hp,
+            init_field_own,
+            norm_L2_interp_abs_own,
+            to_max,
+        )
+
+        # reference conventions on hp meshes: f sampled at OWN Lobatto
+        # nodes (INIT_FIELD_ON_LOBATTO), norms/estimator residual in the
+        # own basis (g = 0 for Stamm, so rhs = M_own f_own exactly)
+        f_own = init_field_own(mesh, prob.rhs)
+        rhs_own = apply_mass_hp(mesh, f_own)
+        l2 = float(norm_L2_interp_abs_own(mesh, u, prob.analytic))
+        R_own = adjoint_to_own(mesh, _apply(mesh, u)) - rhs_own
+        F = to_max(mesh, R_own)
         eta2 = np.asarray(
             estimate_bi(mesh, u, F, g=g, penalty_prefactor=10.0)
         )
@@ -377,24 +403,18 @@ def test_stamm_hp_amr_trajectory():
             penalty_prefactor=10.0, penalty_fcn="maxp_sqr_over_minh",
             face_h_type="tree_h", deg_e=deg_e,
         )
-        g2 = mesh2.boundary_values(prob.boundary)
-        f2 = mesh2.init_field(prob.rhs)
         mixed2 = bool((deg_e != storage).any())
-        if mixed2:
-            from disco4est_tpu.laplacian.hp import (
-                apply_sipg_hp,
-                build_rhs_with_strong_bc_hp,
-                to_max,
-            )
+        from disco4est_tpu.laplacian.hp import apply_sipg_hp
 
-            rhs2 = build_rhs_with_strong_bc_hp(mesh2, f2, g2)
+        f2_own = init_field_own(mesh2, prob.rhs)
+        rhs2 = apply_mass_hp(mesh2, f2_own)  # g = 0
+        if mixed2:
             res = cg_solve(
                 lambda v: apply_sipg_hp(mesh2, v), rhs2, atol=1e-15,
                 rtol=0.0, max_iter=200000,
             )
             u = to_max(mesh2, res.x)
         else:
-            rhs2 = _rhs(mesh2, f2, g2)
             res = cg_solve(
                 lambda v: apply_sipg(mesh2, v), rhs2, atol=1e-15, rtol=0.0,
                 max_iter=200000,
