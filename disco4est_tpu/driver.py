@@ -278,6 +278,58 @@ def _linear_solve_mixed_structured(mesh, sb, rhs, x0, inner_rtol=1e-3,
     )
 
 
+def _linear_solve_mixed_curved(mesh, ts32, mesh_lex32, rhs, x0,
+                               inner_rtol=1e-4, inner_max_iter=400,
+                               max_outer=30):
+    """Mixed-precision refinement whose inner CG runs the tree-structured
+    curved apply (`laplacian/curved.py`: per-tree roll exchange, fused
+    lift GEMM) — dispatched per epoch on uniform multi-tree curved
+    meshes (cubed spheres).
+
+    The OUTER loop runs on the HOST: the fully-jitted composite
+    (while-in-while) deterministically stalls on the axon TPU backend
+    after the first few contractions (the fusion pathology
+    `solvers/schwarz_overlap.py` barriers against), while the
+    host-stepped loop converges to the f64 floor — and the outer count
+    is tiny (~5-10), so the extra dispatches are negligible."""
+    from disco4est_tpu.laplacian.curved import make_inner_solve
+    from disco4est_tpu.solvers.mixed import MixedResult
+
+    inner = jax.jit(
+        make_inner_solve(
+            ts32, mesh_lex32, rtol=inner_rtol, max_iter=inner_max_iter
+        )
+    )
+    A64 = jax.jit(lambda m, v: apply_sipg(m, v))
+    x = x0
+    r = rhs - A64(mesh, x)
+    bnorm = float(jnp.linalg.norm(rhs.reshape(-1)))
+    tol = max(5e-15, 1e-20 * bnorm)
+    rn = float(jnp.linalg.norm(r.reshape(-1)))
+    tot = 0
+    k = 0
+    while rn > tol and k < max_outer:
+        scale = rn if rn > 0 else 1.0
+        d32, it = inner((r / scale).astype(jnp.float32))
+        x_new = x + scale * d32.astype(rhs.dtype)
+        r_new = rhs - A64(mesh, x_new)
+        rn_new = float(jnp.linalg.norm(r_new.reshape(-1)))
+        tot += int(it)
+        k += 1
+        improved = rn_new < rn
+        if improved:
+            x, r, rn = x_new, r_new, rn_new
+        if not improved or (rn_new >= 0.9 * rn and k >= 3):
+            if k >= 3:
+                break  # stalled at the refinement floor (or diverging)
+    return MixedResult(
+        x=x,
+        outer_iterations=jnp.asarray(k),
+        inner_iterations=jnp.asarray(tot),
+        residual_norm=jnp.asarray(rn),
+    )
+
+
 @_ft.partial(
     jax.jit, static_argnames=("inner_rtol", "inner_max_iter", "max_outer")
 )
@@ -813,19 +865,41 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                 )
 
                 sb = build_structured(mesh)
+            ts = None
+            if sb is None and use_structured in (
+                "auto", "1", "true", "yes"
+            ) and (
+                use_structured != "auto"
+                or jax.default_backend() == "tpu"
+            ):
+                from disco4est_tpu.laplacian.curved import (
+                    build_tree_structured,
+                    permute_mesh_lex,
+                )
+
+                ts = build_tree_structured(mesh)
             if sb is not None:
                 res = _linear_solve_mixed_structured(
                     mesh, sb, rhs, x0,
                     max_outer=mixed_opts["max_outer"],
+                )
+            elif ts is not None:
+                mesh_lex32 = mesh_astype(
+                    permute_mesh_lex(ts, mesh), jnp.float32
+                )
+                ts32 = mesh_astype(ts, jnp.float32)
+                res = _linear_solve_mixed_curved(
+                    mesh, ts32, mesh_lex32, rhs, x0,
                 )
             else:
                 mesh32 = mesh_astype(mesh, jnp.float32)
                 res = _linear_solve_mixed(
                     mesh, mesh32, rhs, x0, **mixed_opts
                 )
-            if int(res.outer_iterations) >= mixed_opts["max_outer"]:
-                # the f32 inner solve stagnated before reaching the f64
-                # tolerance — fall back to the plain f64 solver
+            bnorm = float(jnp.linalg.norm(rhs.reshape(-1)))
+            if float(res.residual_norm) > 1e-10 * (1.0 + bnorm):
+                # the f32 inner solve stagnated/diverged well above the
+                # refinement floor — fall back to the plain f64 solver
                 # (ADVICE r4)
                 res = solve(mesh, rhs, x0)
         else:

@@ -89,26 +89,43 @@ def mixed_refine_solve(
     tol = jnp.maximum(atol, rtol * bnorm)
 
     def cond(state):
-        x, r, rn, k, tot = state
-        return (rn > tol) & (k < max_outer)
+        x, r, rn, rn_prev, k, tot = state
+        # stall exit: once the outer residual stops contracting (the
+        # f32-representation floor, typically ~1e-13 relative on curved
+        # meshes) further outer steps are wasted — and a DIVERGING inner
+        # solve must not keep feeding garbage corrections
+        progressing = (k < 3) | (rn < 0.9 * rn_prev)
+        return (rn > tol) & (k < max_outer) & progressing
 
     def body(state):
         # the residual is carried in the loop state so each outer step
         # pays exactly ONE f64 apply (ADVICE r3: r at the top of body and
         # r2 at the bottom were the same quantity computed twice)
-        x, r, rn, k, tot = state
+        x, r, rn, rn_prev, k, tot = state
         scale = jnp.where(rn > 0, rn, 1.0)
         r32 = (r / scale).astype(jnp.float32)
         d32, it = inner_solve(r32)
-        x = x + scale * d32.astype(b.dtype)
-        r2 = b - A(x)
-        return (x, r2, jnp.sqrt(_dot(r2, r2)), k + 1, tot + it)
+        x_new = x + scale * d32.astype(b.dtype)
+        # barrier: XLA:TPU may misfuse the f64 apply with the loop-state
+        # updates in composite jits (observed as a stalling outer
+        # residual; same pathology as solvers/schwarz_overlap.py)
+        x_new = jax.lax.optimization_barrier(x_new)
+        r2 = b - jax.lax.optimization_barrier(A(x_new))
+        rn2 = jnp.sqrt(_dot(r2, r2))
+        # keep the BEST iterate: reject a step that grows the residual
+        worse = rn2 > rn
+        x_new = jnp.where(worse, x, x_new)
+        r2 = jnp.where(worse, r, r2)
+        rn_keep = jnp.minimum(rn2, rn)
+        return (x_new, r2, rn_keep, rn, k + 1, tot + it)
 
     r0 = b - A(x0)
+    rn0 = jnp.sqrt(_dot(r0, r0))
     state = (
-        x0, r0, jnp.sqrt(_dot(r0, r0)), jnp.asarray(0), jnp.asarray(0)
+        x0, r0, rn0, jnp.asarray(jnp.inf, rn0.dtype), jnp.asarray(0),
+        jnp.asarray(0),
     )
-    x, _, rn, k, tot = jax.lax.while_loop(cond, body, state)
+    x, _, rn, _, k, tot = jax.lax.while_loop(cond, body, state)
     return MixedResult(
         x=x, outer_iterations=k, inner_iterations=tot, residual_norm=rn
     )
