@@ -163,6 +163,57 @@ class DriverResult:
     u: jnp.ndarray
     norms: NormLog
     eta2_history: list
+    # per-AMR-level phase wall times [{phase: seconds}] (the reference's
+    # MG profiler / iteration-log role, `d4est_solver_multigrid_profiler_
+    # basic.c` + "AMR_IT SNES_IT KSP_IT norm time" logs)
+    timings: list = dataclasses.field(default_factory=list)
+
+
+class _PhaseTimer:
+    """Per-phase wall-clock accumulator for the solve loop.  Enabled by
+    `[driver] print_timings = 1`; one line per AMR level."""
+
+    def __init__(self, opts: Options):
+        self.enabled = opts.get("driver", "print_timings", False, cast=bool)
+        self.rows = []
+        self._cur = None
+
+    def level(self, it):
+        import time as _t
+
+        self._cur = {"level": it}
+        self._t = _t
+        self.rows.append(self._cur)
+
+    class _Phase:
+        def __init__(self, timer, name):
+            self.timer, self.name = timer, name
+
+        def __enter__(self):
+            import time as _t
+
+            self.t0 = _t.perf_counter()
+
+        def __exit__(self, *exc):
+            import time as _t
+
+            cur = self.timer._cur
+            if cur is not None:
+                cur[self.name] = (
+                    cur.get(self.name, 0.0) + _t.perf_counter() - self.t0
+                )
+
+    def phase(self, name):
+        return self._Phase(self, name)
+
+    def flush(self):
+        if self.enabled and self._cur is not None:
+            parts = " ".join(
+                f"{k}={v:.3f}s"
+                for k, v in self._cur.items()
+                if k != "level"
+            )
+            print(f"TIMINGS level {self._cur['level']}: {parts}")
 
 
 @jax.jit
@@ -634,13 +685,17 @@ def run_poisson(opts: Options, problem) -> DriverResult:
         resume_u = jnp.asarray(rfields["u"])  # storage-degree nodal field
 
     face_h_type = face_h_from_options(opts)
+    timer = _PhaseTimer(opts)
     for it in range(it0, n_amr + 1):
+        timer.level(it)
         mixed = bool((deg_e != storage).any())
-        mesh = build_mesh(
-            geom, forest, deg=storage, quad=quad, deg_quad=storage + dq_inc,
-            penalty_prefactor=prefactor, penalty_fcn=penalty_fcn,
-            deg_e=deg_e, face_h_type=face_h_type,
-        )
+        with timer.phase("mesh"):
+            mesh = build_mesh(
+                geom, forest, deg=storage, quad=quad,
+                deg_quad=storage + dq_inc,
+                penalty_prefactor=prefactor, penalty_fcn=penalty_fcn,
+                deg_e=deg_e, face_h_type=face_h_type,
+            )
         g = mesh.boundary_values(problem.boundary)
         f = mesh.init_field(problem.rhs)
         rhs_max = build_rhs_with_strong_bc(mesh, f, g)
@@ -767,6 +822,8 @@ def run_poisson(opts: Options, problem) -> DriverResult:
         ):
             dist = par.distribute(mesh)
 
+        timer._solve_cm = timer.phase("solve")
+        timer._solve_cm.__enter__()
         if it == it0 and resume_u is not None:
             # restart: the checkpoint stored the POST-solve iterate of
             # this level — skip the solve and continue the AMR loop
@@ -907,6 +964,8 @@ def run_poisson(opts: Options, problem) -> DriverResult:
         if not (it == it0 and resume_u is not None):
             u = res.x
             u_max = to_max(mesh, u) if mixed else u
+        jax.block_until_ready(u_max)
+        timer._solve_cm.__exit__()
 
         u_a = mesh.init_field(problem.analytic)
         norms.add(
@@ -938,6 +997,7 @@ def run_poisson(opts: Options, problem) -> DriverResult:
         )
 
         if it == n_amr:
+            timer.flush()
             break
         if scheme == "uniform_h":
             log = -deg_e.astype(np.int64)
@@ -947,9 +1007,12 @@ def run_poisson(opts: Options, problem) -> DriverResult:
             log = np.minimum(deg_e + 1, max_degree).astype(np.int64)
             pred = None
         elif scheme == "smooth_pred":
-            F = apply_sipg(mesh, u_max, None) - rhs_max
-            eta2 = np.asarray(estimate_bi(mesh, u_max, F, g=g,
-                                          penalty_prefactor=prefactor))
+            with timer.phase("estimate"):
+                F = apply_sipg(mesh, u_max, None) - rhs_max
+                eta2 = np.asarray(
+                    estimate_bi(mesh, u_max, F, g=g,
+                                penalty_prefactor=prefactor)
+                )
             eta2_hist.append(eta2)
             if sp_state is None or len(sp_state.predictor) != mesh.n_elements:
                 sp_state = SmoothPredState.fresh(mesh.n_elements, sp_params)
@@ -971,9 +1034,11 @@ def run_poisson(opts: Options, problem) -> DriverResult:
             if pred is not None:
                 sp_state = SmoothPredState(pred)
         amr_history.append(np.asarray(log))
-        new_forest, new_deg_e, fields, new_storage = amr_step_hp(
-            forest, deg_e, log, {"u": u}, storage, max_degree
-        )
+        timer.flush()
+        with timer.phase("amr"):
+            new_forest, new_deg_e, fields, new_storage = amr_step_hp(
+                forest, deg_e, log, {"u": u}, storage, max_degree
+            )
         u = fields["u"]
         if sp_state is not None and pred is not None:
             sp_state = SmoothPredState(
@@ -983,7 +1048,8 @@ def run_poisson(opts: Options, problem) -> DriverResult:
             )
         forest, deg_e, storage = new_forest, new_deg_e, new_storage
 
-    return DriverResult(mesh=mesh, u=u, norms=norms, eta2_history=eta2_hist)
+    return DriverResult(mesh=mesh, u=u, norms=norms,
+                        eta2_history=eta2_hist, timings=timer.rows)
 
 
 # ---------------------------------------------------------------------------
