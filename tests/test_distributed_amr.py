@@ -343,3 +343,25 @@ def test_halo_hp_matches_global():
     )(mesh_s, halo, u_s)
     err = float(jnp.max(jnp.abs(out - ref)))
     assert err < 1e-11, err
+
+
+def test_halo_pointwise_sigma_communication_pattern():
+    """Pointwise-σ curved halo apply: all-to-all only, zero all-gathers
+    (completes the VERDICT r4 #2 contract on the flagship σ mode)."""
+    from disco4est_tpu.geometry.cubed_sphere import CubedSphereGeometry
+
+    geom = CubedSphereGeometry("7tree", R0=1.0, R1=2.0)
+    forest = Forest.uniform(geom.conn, 1)
+    mesh = build_mesh(geom, forest, deg=2, face_h_type="j_div_sj_quad")
+    dev_mesh = element_mesh(jax.devices()[:8])
+    halo = build_halo_program(mesh, 8)
+    mesh_s = shard_mesh_data(mesh, dev_mesh)
+    u = shard_field(jnp.zeros((mesh.n_elements, 3, 3, 3)), dev_mesh)
+    txt = (
+        jax.jit(lambda m, h, v: apply_sipg_halo(m, h, v, dev_mesh))
+        .lower(mesh_s, halo, u)
+        .compile()
+        .as_text()
+    )
+    assert "all-to-all" in txt
+    assert txt.count("all-gather") == 0
