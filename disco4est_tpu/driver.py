@@ -157,6 +157,21 @@ def face_h_from_options(opts: Options) -> str:
     return _FACE_H_MAP[name]
 
 
+def vol_h_from_options(opts: Options) -> str:
+    """[mesh_parameters] volume_h_type (VOL_H_EQ_DIAM | VOL_H_EQ_CUBE_
+    APPROX, `Mesh/d4est_mesh.h:31-49`) — the estimator volume-term h."""
+    name = opts.get(
+        "mesh_parameters", "volume_h_type", "VOL_H_EQ_CUBE_APPROX"
+    )
+    table = {
+        "VOL_H_EQ_CUBE_APPROX": "cube_approx",
+        "VOL_H_EQ_DIAM": "diam",
+    }
+    if name not in table:
+        raise ValueError(f"unknown volume_h_type {name!r}")
+    return table[name]
+
+
 @dataclasses.dataclass
 class DriverResult:
     mesh: MeshData
@@ -1011,7 +1026,8 @@ def run_poisson(opts: Options, problem) -> DriverResult:
                 F = apply_sipg(mesh, u_max, None) - rhs_max
                 eta2 = np.asarray(
                     estimate_bi(mesh, u_max, F, g=g,
-                                penalty_prefactor=prefactor)
+                                penalty_prefactor=prefactor,
+                                vol_h=vol_h_from_options(opts))
                 )
             eta2_hist.append(eta2)
             if sp_state is None or len(sp_state.predictor) != mesh.n_elements:
@@ -1575,7 +1591,8 @@ def run_nonlinear(opts: Options, problem) -> DriverResult:
 
         F = problem.residual(mesh, u, bc)
         eta2 = np.asarray(
-            estimate_bi(mesh, u, F, g=g_est, penalty_prefactor=prefactor)
+            estimate_bi(mesh, u, F, g=g_est, penalty_prefactor=prefactor,
+                        vol_h=vol_h_from_options(opts))
         )
         eta2_hist.append(eta2)
         norms.rows[-1]["eta2_sum"] = float(eta2.sum())
