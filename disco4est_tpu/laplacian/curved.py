@@ -241,9 +241,10 @@ def _lift_q_mats(deg: int, deg_quad: int, quad_key, dim: int):
 def apply_tree_structured(ts: TreeStructured, mesh: MeshData, u_lex,
                           parts=("volume", "roll", "inter")):
     """Au in LEX order.  `u_lex`: [E, nl, ...] nodal field (lex order);
-    `mesh` supplies the volume factors (original order is irrelevant for
-    the volume stage ONLY when its arrays are also permuted — pass the
-    lex-permuted mesh from `permute_mesh_lex`)."""
+    `mesh` supplies the volume factors — pass the lex-permuted mesh from
+    `permute_mesh_lex`.  `parts` is a BENCH-ABLATION flag (drop "volume"
+    or pass "nosubst" to time stages); production callers use the
+    default."""
     dim, deg, deg_quad = ts.dim, ts.deg, ts.deg_quad
     nl, nq = deg + 1, deg_quad + 1
     E = ts.n_elements
@@ -262,7 +263,6 @@ def apply_tree_structured(ts: TreeStructured, mesh: MeshData, u_lex,
     # ---- volume (tensor path, supports per-element radial rules) -------
     from disco4est_tpu.mesh.builder import vol_interp
 
-    w3 = tensor.tensor_weights([wq1] * dim, dtype=dtype)
     Au = jnp.zeros_like(u)
     if "volume" in parts:
         t = [vol_interp(mesh, dudr[l]) for l in range(dim)]
